@@ -1,0 +1,127 @@
+"""Deterministic synthetic Common-Crawl-style page corpus (FIXTURES.md §1).
+
+Pages match BASELINE.json's input_hint shape exactly:
+  (url string, warc_ts timestamp, html binary, text string|null, lang string)
+
+Everything derives from (seed, i) so the corpus is byte-identical across runs
+and parallelism levels — the extraction byte-identity invariant needs a stable
+ground truth.  Includes the mandated fixture cases: multi-alias entities
+(drives sameAs), one hub entity in ~30% of pages (skew), malformed HTML, empty
+HTML, and empty-lang rows (skip path).
+
+Generation is distributed: spark.range(n) → vectorized pandas batches, no
+driver-side materialization — the same generator shape works at 10^12 rows.
+"""
+
+from __future__ import annotations
+
+import datetime
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+PAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), False),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+EPOCH = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+
+# entity universe: canonical id -> aliases (multiple aliases per entity drive
+# sameAs edges through mention linking); ENT0 is the hub (≈30% of pages)
+ENTITIES: dict[str, list[str]] = {
+    "http://kg.example.org/entity/E000_hub": ["Acme Corp", "Acme Corporation", "ACME"],
+    "http://kg.example.org/entity/E001": ["Jane Smith", "J. Smith"],
+    "http://kg.example.org/entity/E002": ["Springfield", "City of Springfield"],
+    "http://kg.example.org/entity/E003": ["Globex", "Globex Inc"],
+    "http://kg.example.org/entity/E004": ["Initech"],
+    "http://kg.example.org/entity/E005": ["Hooli", "Hooli XYZ"],
+    "http://kg.example.org/entity/E006": ["John Doe", "Jonathan Doe"],
+    "http://kg.example.org/entity/E007": ["Umbrella", "Umbrella Co"],
+}
+
+ENTITY_CLASSES: dict[str, str] = {
+    "http://kg.example.org/entity/E000_hub": "http://kg.example.org/class/Organization",
+    "http://kg.example.org/entity/E001": "http://kg.example.org/class/Person",
+    "http://kg.example.org/entity/E002": "http://kg.example.org/class/Place",
+    "http://kg.example.org/entity/E003": "http://kg.example.org/class/Organization",
+    "http://kg.example.org/entity/E004": "http://kg.example.org/class/Organization",
+    "http://kg.example.org/entity/E005": "http://kg.example.org/class/Organization",
+    "http://kg.example.org/entity/E006": "http://kg.example.org/class/Person",
+    "http://kg.example.org/entity/E007": "http://kg.example.org/class/Organization",
+}
+
+LANGS = ["en", "de", "en", "en", "de", ""]  # "" exercises the skip path
+
+
+def alias_rows() -> list[tuple[str, str, float]]:
+    """(alias_lower, entity_id, prior) — deterministic priors; the broadcast
+    dictionary for mention linking (FIXTURES.md §5)."""
+    rows = []
+    for ent, aliases in sorted(ENTITIES.items()):
+        for j, a in enumerate(aliases):
+            rows.append((a.lower(), ent, round(1.0 / (1 + j), 4)))
+    return rows
+
+
+def _mentions_for(i: int) -> list[str]:
+    """Deterministic alias picks for page i; hub alias in ~30% of pages."""
+    ents = sorted(ENTITIES)
+    picks = []
+    if i % 10 < 3:
+        hub_aliases = ENTITIES[ents[0]]
+        picks.append(hub_aliases[i % len(hub_aliases)])
+    e1 = ents[1 + (i * 7) % (len(ents) - 1)]
+    a1 = ENTITIES[e1]
+    picks.append(a1[i % len(a1)])
+    e2 = ents[1 + (i * 13 + 3) % (len(ents) - 1)]
+    if e2 != e1:
+        a2 = ENTITIES[e2]
+        picks.append(a2[(i // 3) % len(a2)])
+    return picks
+
+
+def _html_for(i: int, seed: int) -> bytes | None:
+    if i % 97 == 95:
+        return None  # null html row
+    if i % 97 == 96:
+        return b""  # empty html row
+    mentions = _mentions_for(i)
+    body = " ".join(
+        f'<p>Report {i}-{k} about <a href="#m">{m}</a> filed under section {(i * 31 + k) % 12}.</p>'
+        for k, m in enumerate(mentions)
+    )
+    if i % 53 == 7:
+        # malformed: unclosed tags, stray brackets (extractor robustness case)
+        return f"<html><body><div>{body}<broken <b>page {i}".encode()
+    return (
+        f"<html><head><title>Page {i} (seed {seed})</title>"
+        f"<style>p {{color: red}}</style><script>var x={i};</script></head>"
+        f"<body><h1>Entry {i}</h1>{body}</body></html>"
+    ).encode()
+
+
+def generate_pages(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+    """Distributed deterministic generation: one pandas batch per partition."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            idx = b["id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "url": [f"https://ex{seed}.org/page/{i}" for i in idx],
+                    "warc_ts": [EPOCH + datetime.timedelta(seconds=3600 * int(i)) for i in idx],
+                    "html": [_html_for(int(i), seed) for i in idx],
+                    "text": pd.Series([None] * len(idx), dtype="object"),
+                    "lang": [LANGS[int(i) % len(LANGS)] for i in idx],
+                }
+            )
+
+    return spark.range(n).mapInPandas(gen, PAGE_SCHEMA)

@@ -1,0 +1,211 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Five families over ``documents`` (doc_id, text, ...) / ``embeddings``
+(vec_id, embedding array<float>, label):
+
+  exact           md5 fingerprint groupBy — one shuffle on the hash, keeps min id
+  minhash_lsh     word-shingles → K universal-hash minima → banded bucket join
+  simhash         32-bit sign-of-sum sketch over token hashes, hamming buckets
+  ngram_jaccard   shingle-inverted-index self-join → exact Jaccard per pair
+  embedding_dup   cosine ≥ τ near-dup pairs over the embedding column
+
+Scale notes:
+  - every hash is md5-derived integer arithmetic mod (2^31-1) so products stay
+    inside 64-bit ANSI math AND DuckDB oracles reproduce them exactly;
+  - minhash-LSH is the 100 TB path: candidate generation is a bucket equi-join
+    (shuffle on band signature), never an n² cross join;
+  - the shingle inverted index joins explode on frequent shingles — a df filter
+    drops shingles above a document-frequency cap (standard web-dedup practice).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+P31 = 2_147_483_647  # 2^31 - 1, Mersenne prime — universal-hash modulus
+
+# deterministic (a, b) parameters for K universal hashes h_k(x) = (a*x + b) % P
+MINHASH_PARAMS: list[tuple[int, int]] = [
+    (1103515245, 12345),
+    (214013, 2531011),
+    (69069, 362437),
+    (1664525, 1013904223),
+    (22695477, 1),
+    (134775813, 10139042),
+    (1099087573, 971),
+    (48271, 399268537),
+]
+
+
+def _norm_text(text_col: str = "text") -> F.Column:
+    return F.regexp_replace(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+", " ")
+
+
+def _shingles(text_col: str = "text", n: int = 3) -> F.Column:
+    """n-word shingles as an array<string> (deduplicated set semantics)."""
+    words = F.split(_norm_text(text_col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+    return F.array_distinct(F.filter(sh, lambda s: F.length(s) > 0))
+
+
+def _h31(col: F.Column) -> F.Column:
+    """md5-derived integer in [0, 2^31): DuckDB-reproducible string hash."""
+    return F.pmod(F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long"), F.lit(P31))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups on normalized text: (keep_id, dup_id) pairs.
+    One hash shuffle; min-id survivor is deterministic."""
+    h = df.select(F.col("doc_id"), F.md5(_norm_text(text_col)).alias("fp"))
+    groups = h.groupBy("fp").agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n"), F.collect_list("doc_id").alias("ids")
+    )
+    return (
+        groups.filter(F.col("n") > 1)
+        .select("keep_id", F.explode("ids").alias("dup_id"))
+        .filter(F.col("dup_id") != F.col("keep_id"))
+        .select("keep_id", "dup_id")
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text", n: int = 3, k: int = 8) -> DataFrame:
+    """doc_id + K minhash columns mh0..mh{k-1} (NULL-free: empty docs hash the
+    empty shingle set to P31, an impossible hash value, keeping them isolated)."""
+    ex = df.select("doc_id", F.explode_outer(_shingles(text_col, n)).alias("sh"))
+    ex = ex.withColumn("h", _h31(F.col("sh")))
+    aggs = [
+        F.coalesce(
+            F.min(F.pmod(F.col("h") * a + b, F.lit(P31))), F.lit(P31)
+        ).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_PARAMS[:k])
+    ]
+    return ex.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame, text_col: str = "text", n: int = 3, k: int = 8, bands: int = 4
+) -> DataFrame:
+    """LSH banding: K/bands rows per band; docs agreeing on any full band become
+    a candidate pair.  Returns (id_a, id_b, matching_hashes 0..k).
+    Candidate generation = ``bands`` equi-joins on band signatures — the
+    100 TB-safe path (no cross join)."""
+    sig = minhash_signatures(df, text_col, n, k).localCheckpoint(eager=True)
+    rows_per_band = k // bands
+    pair_frames = []
+    for b in range(bands):
+        cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+        left = sig.select(F.col("doc_id").alias("id_a"), *[F.col(c).alias(f"_l{c}") for c in cols])
+        right = sig.select(F.col("doc_id").alias("id_b"), *[F.col(c).alias(f"_r{c}") for c in cols])
+        cond = [left[f"_l{c}"] == right[f"_r{c}"] for c in cols]
+        pf = left.join(right, cond).filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+        pair_frames.append(pf)
+    cands = pair_frames[0]
+    for pf in pair_frames[1:]:
+        cands = cands.unionByName(pf)
+    cands = cands.distinct()
+    # score candidates: fraction of agreeing minhashes (estimates Jaccard)
+    a = sig.select(F.col("doc_id").alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(k)])
+    b2 = sig.select(F.col("doc_id").alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(k)])
+    out = cands.join(a, "id_a").join(b2, "id_b")
+    match = sum(F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(k))
+    return out.select("id_a", "id_b", match.alias("matching_hashes"))
+
+
+def simhash(df: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
+    """SimHash sketch: sign of per-bit sums of token hashes.  Pure column
+    algebra: explode tokens → one groupBy with ``bits`` conditional sums."""
+    words = F.split(_norm_text(text_col), " ")
+    ex = df.select("doc_id", F.explode_outer(F.array_distinct(words)).alias("w"))
+    ex = ex.filter(F.length(F.coalesce(F.col("w"), F.lit(""))) > 0).withColumn(
+        "h", F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("long")
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.pmod(F.shiftright(F.col("h"), i), F.lit(2)) == 1, 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(bits)
+    ]
+    agg = ex.groupBy("doc_id").agg(*bit_sums)
+    sig = sum(
+        F.when(F.col(f"s{i}") > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+        for i in range(bits)
+    )
+    return agg.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_near_dups(df: DataFrame, text_col: str = "text", bits: int = 32, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming.  Candidates via
+    16-bit half-signature buckets (pigeonhole: ≤3 differing bits ⇒ one half
+    identical) — two equi-joins, no cross join."""
+    sig = simhash(df, text_col, bits).localCheckpoint(eager=True)
+    half = bits // 2
+    lo = F.pmod(F.col("simhash"), F.lit(2**half)).alias("bucket")
+    hi = F.floor(F.col("simhash") / F.lit(2**half)).cast("long").alias("bucket")
+    frames = []
+    for part in (lo, hi):
+        s = sig.select("doc_id", "simhash", part)
+        a = s.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sig_a"), "bucket")
+        b = s.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sig_b"), "bucket")
+        frames.append(a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b")).drop("bucket"))
+    cands = frames[0].unionByName(frames[1]).distinct()
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cands.select("id_a", "id_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard via shingle inverted index:
+    explode → self-join on shingle → count common → |A∪B| from per-doc sizes.
+    ``max_df`` drops shingles appearing in more than that many docs (stopword
+    shingles dominate the join cost at scale)."""
+    sh = df.select("doc_id", F.explode(_shingles(text_col, n)).alias("sh"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    if max_df:
+        rare = sh.groupBy("sh").agg(F.count("*").alias("df_")).filter(F.col("df_") <= max_df)
+        sh = sh.join(F.broadcast(rare.select("sh")), "sh", "left_semi")
+    a = sh.select(F.col("doc_id").alias("id_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("id_b"), "sh")
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    j = F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(j, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_near_dups(
+    emb: DataFrame, threshold: float = 0.95, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Cosine ≥ τ pairs.  Baseline is the exact blocked self-join (range-
+    partitioned, id_a < id_b halves the work); the LSH-bucketed scale path lives
+    in ops/similarity.py (random-hyperplane signs reuse this scoring)."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nrm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
+    cos = dot / (nrm(F.col("va")) * nrm(F.col("vb")))
+    return (
+        pairs.select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,134 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two tiers, same scoring kernel:
+  brute_force_topk   exact cosine top-k — the correctness baseline; a broadcast
+                     of the (few) query vectors against the full table, one scan
+  lsh_topk           random-hyperplane LSH buckets — the 100 TB path: shuffle
+                     on bucket signature, score only within-bucket candidates,
+                     multi-probe across ``n_tables`` independent sign families
+
+Hyperplanes are deterministic pseudo-vectors derived from (table, bit, dim) via
+integer hashing — no RNG state, so signatures are identical across runs and
+parallelism levels.  All math in doubles via zip_with/aggregate (JVM codegen,
+no UDF).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+P31 = 2_147_483_647
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(c) -> F.Column:
+    return F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a, b) -> F.Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Exact top-k neighbors per query: broadcast queries × one table scan →
+    window rank.  Deterministic tiebreak on neighbor id."""
+    e = emb.select(F.col(id_col).alias("nn_id"), F.col(vec_col).cast("array<double>").alias("v"))
+    q = F.broadcast(
+        queries.select(F.col(q_id_col).alias("q_id"), F.col(q_vec_col).cast("array<double>").alias("qv"))
+    )
+    scored = e.crossJoin(q).select(
+        "q_id", "nn_id", F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cosine")
+    )
+    scored = scored.filter(F.col("q_id") != F.col("nn_id"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("nn_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "nn_id", "cosine", "rank")
+    )
+
+
+def _hyperplane(table: int, bit: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane component per dimension:
+    integer-hash → value in [-1, 1).  Pure arithmetic, reproducible anywhere."""
+    out = []
+    for d in range(dim):
+        x = (1103515245 * (table * 1_000_003 + bit * 10_007 + d) + 12345) % P31
+        out.append((x / P31) * 2.0 - 1.0)
+    return out
+
+
+def lsh_signatures(
+    emb: DataFrame,
+    dim: int,
+    n_tables: int = 4,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, table, bucket): random-hyperplane sign signature per table."""
+    v = F.col(vec_col).cast("array<double>")
+    tables = []
+    for t in range(n_tables):
+        bits = []
+        for b in range(n_bits):
+            plane = F.array(*[F.lit(x) for x in _hyperplane(t, b, dim)])
+            bits.append(F.when(_dot(v, plane) >= 0, F.lit(2**b)).otherwise(F.lit(0)))
+        bucket = sum(bits).cast("long")
+        tables.append(F.struct(F.lit(t).alias("table"), bucket.alias("bucket")))
+    return emb.select(
+        F.col(id_col).alias("id"), F.explode(F.array(*tables)).alias("tb")
+    ).select("id", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+
+
+def lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_tables: int = 4,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Approximate top-k: score only candidates sharing an LSH bucket with the
+    query in any table.  Recall grows with n_tables; cost is a bucket equi-join
+    instead of a full scan per query."""
+    sig = lsh_signatures(emb, dim, n_tables, n_bits, id_col, vec_col)
+    qsig = lsh_signatures(queries, dim, n_tables, n_bits, q_id_col, q_vec_col).withColumnRenamed(
+        "id", "q_id"
+    )
+    cands = (
+        sig.join(qsig, ["table", "bucket"])
+        .select("q_id", F.col("id").alias("nn_id"))
+        .filter(F.col("q_id") != F.col("nn_id"))
+        .distinct()
+    )
+    e = emb.select(F.col(id_col).alias("nn_id"), F.col(vec_col).cast("array<double>").alias("v"))
+    q = queries.select(
+        F.col(q_id_col).alias("q_id"), F.col(q_vec_col).cast("array<double>").alias("qv")
+    )
+    scored = cands.join(e, "nn_id").join(F.broadcast(q), "q_id").select(
+        "q_id", "nn_id", F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cosine")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("nn_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "nn_id", "cosine", "rank")
+    )

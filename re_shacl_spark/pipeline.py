@@ -1,0 +1,151 @@
+"""End-to-end fusion pipeline: merge-then-reason over the triple store.
+
+Reimplements the reference's outer closure loop
+(/root/reference/src/pipeline/closure_engine.py:39-85 and the legacy loop
+ReSHACL/re_shacl.py:701-723) as a driver-side fixpoint over pure DataFrame
+transforms:
+
+  round k:
+    1. derive rule consequences (broadcast joins, §rules)         — one ABox scan
+    2. new = derived ∖ existing (left_anti)                        — semi-naive gate
+    3. sameAs edges (explicit + functional/inverse-functional)     — self-joins
+    4. connected components (large-star/small-star, salted)        — O(log n)
+    5. representative rewrite of s/p/o + dedup                     — 3 coalesce joins
+    6. consistency checks (abort on violation)
+  converged when (2) and (4) produce nothing new.
+
+Convergence uses emptiness of delta frames — sound, unlike raw count-stability.
+Each round ends in localCheckpoint(eager) so the logical plan stays O(1) across
+rounds.  The reference's convergence needed a *snapshot repeated twice*
+(closure_engine.py:69-78) because its rules interleave destructive mutation;
+pure dataflow needs exactly one empty delta.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from re_shacl_spark.canonicalize.cc import connected_components
+from re_shacl_spark.canonicalize.rewrite import apply_static_map, canonicalize_triples
+from re_shacl_spark.model.triples import dedup_triples, vocab
+from re_shacl_spark.reasoning.checks import run_all_checks
+from re_shacl_spark.reasoning.rules import RuleEngine, Scope
+from re_shacl_spark.reasoning.tbox import TBoxIndex, build_tbox_index, extract_tbox
+
+MAX_ROUNDS = 25  # reference caps at 25_000 (closure_engine.py:39) — log-round CC
+#                  plus closed TBox maps converge in a handful of rounds.
+
+
+@dataclass
+class FusionResult:
+    triples: DataFrame          # fused, canonicalized triple store
+    rep_map: DataFrame          # member -> rep (accumulated across rounds)
+    tbox: TBoxIndex
+    rounds: int
+    check_counts: dict[str, int]
+
+
+def _compose_rep_maps(old: DataFrame, new: DataFrame) -> DataFrame:
+    """(member→rep)∘(member→rep): route old targets through the new map, union
+    new entries, dedup.  Both maps are rep-closed (CC output), so one hop
+    suffices."""
+    if old is None:
+        return new
+    routed = (
+        old.alias("o")
+        .join(new.alias("n"), F.col("o.rep") == F.col("n.member"), "left")
+        .select(
+            F.col("o.member").alias("member"),
+            F.coalesce(F.col("n.rep"), F.col("o.rep")).alias("rep"),
+        )
+    )
+    return routed.unionByName(new).dropDuplicates(["member"])
+
+
+def fuse(
+    spark: SparkSession,
+    triples: DataFrame,
+    scope: Scope | None = None,
+    emit_sameas_provenance: bool = True,
+    run_checks: bool = True,
+    max_rounds: int = MAX_ROUNDS,
+    cc_salts: int = 8,
+) -> FusionResult:
+    """Scoped reasoning + sameAs canonicalization to fixpoint.
+
+    Returns the fused graph with deterministic min-IRI representatives; the
+    provenance triples (rep, owl:sameAs, member) are re-emitted like the
+    reference does at re_shacl.py:734-737.
+    """
+    tbox = build_tbox_index(extract_tbox(triples))
+    engine = RuleEngine(spark, tbox, scope or Scope.unrestricted())
+
+    # TBox-level equivalence collapse first (class + property reps) — the
+    # reference's merge_target_classes / merge_same_property stages.
+    static_pairs = tbox.class_rep_pairs() + tbox.prop_rep_pairs()
+    cur = apply_static_map(triples, static_pairs)
+
+    # materialize the TBox transitive closures as triples (scm-sco / scm-spo) so
+    # the fused graph is self-contained like the reference's owlrl output —
+    # TBox-sized, so this union is negligible
+    closure_rows = [
+        (a, vocab.SUBCLASS, b) for a, b in tbox.subclass_closure_pairs()
+    ] + [(a, vocab.SUBPROP, b) for a, b in tbox.subprop_closure_pairs()]
+    if closure_rows:
+        closure_df = spark.createDataFrame(closure_rows, ["s", "p", "o"]).select(
+            "s",
+            "p",
+            "o",
+            F.lit(None).cast("struct<lex:string,dtype:string,lang:string>").alias("o_lit"),
+            F.lit(False).alias("is_lit"),
+            F.lit(None).cast("string").alias("src_url"),
+        )
+        cur = cur.unionByName(closure_df)
+    cur = dedup_triples(cur).localCheckpoint(eager=True)
+
+    rep_map: DataFrame | None = None
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
+        progressed = False
+
+        # (1-2) rule derivation, semi-naive gate
+        derived = engine.derive_all(cur).dropDuplicates(["s", "p", "o"])
+        new = derived.join(cur, ["s", "p", "o"], "left_anti").localCheckpoint(eager=True)
+        if not new.isEmpty():
+            progressed = True
+            cur = cur.unionByName(new).localCheckpoint(eager=True)
+
+        # (3-5) sameAs closure + canonical rewrite
+        edges = engine.derive_sameas(cur)
+        # only edges that merge two *distinct current* ids do work
+        if not edges.isEmpty():
+            new_reps = connected_components(edges, n_salts=cc_salts)
+            if not new_reps.isEmpty():
+                cur = canonicalize_triples(cur, new_reps).localCheckpoint(eager=True)
+                rep_map = _compose_rep_maps(rep_map, new_reps.localCheckpoint(eager=True))
+                rep_map = rep_map.localCheckpoint(eager=True)
+                progressed = True
+                # sameAs triples are now self-loops (dropped in rewrite); keep
+                # the closure out of next round's edge derivation
+        if not progressed:
+            break
+
+    if rep_map is None:
+        rep_map = spark.createDataFrame([], "member string, rep string")
+
+    if emit_sameas_provenance and not rep_map.isEmpty():
+        prov = rep_map.select(
+            F.col("rep").alias("s"),
+            F.lit(vocab.SAMEAS).alias("p"),
+            F.col("member").alias("o"),
+            F.lit(None).cast("struct<lex:string,dtype:string,lang:string>").alias("o_lit"),
+            F.lit(False).alias("is_lit"),
+            F.lit(None).cast("string").alias("src_url"),
+        )
+        cur = dedup_triples(cur.unionByName(prov)).localCheckpoint(eager=True)
+
+    counts = run_all_checks(cur, tbox) if run_checks else {}
+    return FusionResult(triples=cur, rep_map=rep_map, tbox=tbox, rounds=rounds, check_counts=counts)

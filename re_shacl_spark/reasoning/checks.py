@@ -1,0 +1,112 @@
+"""Consistency checks (error short-circuit): each returns a DataFrame of violating
+rows; the pipeline aborts with FusionError when any is nonempty.
+
+Mirrors the reference's FusionRuntimeError raises
+(/root/reference/ReSHACL/re_shacl.py:79-86,95-110,289-343; errors.py:1-13):
+  J14 cax-dw / cls-com   disjoint / complement class membership
+  J15 prp-pdw            propertyDisjointWith
+  J16 prp-irp / prp-asyp irreflexive / asymmetric
+  J17 eq-diff1           sameAs ∧ differentFrom
+
+Each check is a semi-join against a broadcast axiom-pair frame — the big side is
+scanned once, filters pushed down.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from re_shacl_spark.model.triples import vocab
+from re_shacl_spark.reasoning.tbox import TBoxIndex
+
+
+class FusionError(RuntimeError):
+    """Raised when an OWL consistency axiom is violated during fusion
+    (reference: ReSHACL/errors.py:1-13)."""
+
+
+def _pairs(spark: SparkSession, pairs: set[tuple[str, str]], a: str, b: str) -> DataFrame:
+    rows = sorted(pairs)
+    if not rows:
+        return spark.createDataFrame([], f"{a} string, {b} string")
+    return spark.createDataFrame(rows, [a, b])
+
+
+def check_irreflexive(triples: DataFrame, tbox: TBoxIndex) -> DataFrame:
+    """(x p x) with p irreflexive."""
+    if not tbox.irreflexive:
+        return triples.limit(0).select("s", "p", "o")
+    return (
+        triples.filter(F.col("p").isin(sorted(tbox.irreflexive)) & (F.col("s") == F.col("o")))
+        .select("s", "p", "o")
+    )
+
+
+def check_asymmetric(triples: DataFrame, tbox: TBoxIndex) -> DataFrame:
+    """(x p y) ∧ (y p x) with p asymmetric (includes x==y)."""
+    if not tbox.asymmetric:
+        return triples.limit(0).select("s", "p", "o")
+    t = triples.filter(F.col("p").isin(sorted(tbox.asymmetric)) & ~F.col("is_lit")).select(
+        "s", "p", "o"
+    )
+    rev = t.select(F.col("o").alias("s"), "p", F.col("s").alias("o"))
+    return t.join(rev, ["s", "p", "o"], "left_semi")
+
+
+def check_disjoint_classes(triples: DataFrame, tbox: TBoxIndex) -> DataFrame:
+    """(x type c1) ∧ (x type c2) with c1 owl:disjointWith c2 (or complementOf)."""
+    spark = triples.sparkSession
+    pairs = tbox.disjoint_classes | tbox.complement
+    m = F.broadcast(_pairs(spark, pairs, "c1", "c2"))
+    types = triples.filter(F.col("p") == vocab.TYPE).select(
+        F.col("s").alias("inst"), F.col("o").alias("cls")
+    )
+    return (
+        types.alias("a")
+        .join(types.alias("b"), "inst")
+        .join(m, (F.col("a.cls") == F.col("c1")) & (F.col("b.cls") == F.col("c2")))
+        .select("inst", "c1", "c2")
+    )
+
+
+def check_disjoint_properties(triples: DataFrame, tbox: TBoxIndex) -> DataFrame:
+    """(x p1 y) ∧ (x p2 y) with p1 propertyDisjointWith p2."""
+    spark = triples.sparkSession
+    m = F.broadcast(_pairs(spark, tbox.disjoint_props, "p1", "p2"))
+    t = triples.select("s", "p", "o")
+    return (
+        t.alias("a")
+        .join(t.alias("b"), ["s", "o"])
+        .join(m, (F.col("a.p") == F.col("p1")) & (F.col("b.p") == F.col("p2")))
+        .select("s", "p1", "p2", "o")
+    )
+
+
+def check_same_different(triples: DataFrame) -> DataFrame:
+    """sameAs(a,b) ∧ differentFrom(a,b) in either orientation."""
+    same = triples.filter(F.col("p") == vocab.SAMEAS).select(
+        F.least("s", "o").alias("a"), F.greatest("s", "o").alias("b")
+    )
+    diff = triples.filter(F.col("p") == vocab.DIFFERENT).select(
+        F.least("s", "o").alias("a"), F.greatest("s", "o").alias("b")
+    )
+    return same.join(diff, ["a", "b"], "left_semi")
+
+
+def run_all_checks(triples: DataFrame, tbox: TBoxIndex, raise_on_violation: bool = True) -> dict[str, int]:
+    """Evaluate every consistency frame; nonempty ⇒ FusionError (reference F5
+    short-circuit, re_shacl.py:83-86 etc.).  Returns per-check violation counts."""
+    frames = {
+        "irreflexive": check_irreflexive(triples, tbox),
+        "asymmetric": check_asymmetric(triples, tbox),
+        "disjoint_classes": check_disjoint_classes(triples, tbox),
+        "disjoint_properties": check_disjoint_properties(triples, tbox),
+        "same_different": check_same_different(triples),
+    }
+    counts = {k: v.count() for k, v in frames.items()}
+    if raise_on_violation:
+        bad = {k: n for k, n in counts.items() if n}
+        if bad:
+            raise FusionError(f"consistency violations: {bad}")
+    return counts

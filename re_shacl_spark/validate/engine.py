@@ -1,0 +1,339 @@
+"""Distributed SHACL validation as Spark SQL aggregations.
+
+The reference delegates validation to pyshacl on the fused in-memory graph
+(/root/reference/run_experiment.py:99-102, inference='none' after merging).
+Here the same reduced-validation contract is a *flat dataflow*:
+
+  1. broadcast the compiled constraint table (shapes are KBs; triples are TBs),
+  2. one scan of TYPES for target selection (targetClass + subclass closure
+     down, pre-materialized by fusion),
+  3. one shuffle join values-to-focus,
+  4. one groupBy(shape, property-constraint, focus) computing EVERY aggregate
+     constraint (minCount/maxCount/hasValue + bad-value counts) in a single
+     pass — the per-shape early-termination strategy: a focus node's value
+     conformance is a short-circuiting boolean expression and all aggregates
+     share one shuffle,
+  5. violation rows = filters over the aggregate frame (+ per-value rows).
+
+#shuffles is O(1) in the number of shapes (Shape_30 has 641 shapes — per-shape
+jobs would be 641 scans; this is 1).
+
+sh:node references are resolved by iterating the flat evaluation to fixpoint
+over the conforming-value sets (optimistic start — cycles converge downward),
+depth-bounded by the shape-reference DAG.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from re_shacl_spark.model.triples import vocab
+from re_shacl_spark.reasoning.tbox import TBoxIndex
+from re_shacl_spark.validate.shapes import NodeShape, PropertyConstraint
+
+SH = vocab.SH
+
+_PC_SCHEMA = T.StructType(
+    [
+        T.StructField("pc_id", T.LongType()),
+        T.StructField("shape_id", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("min_count", T.IntegerType()),
+        T.StructField("max_count", T.IntegerType()),
+        T.StructField("clazz", T.StringType()),
+        T.StructField("datatype", T.StringType()),
+        T.StructField("node_kind", T.StringType()),
+        T.StructField("node_ref", T.StringType()),
+        T.StructField("in_values", T.ArrayType(T.StringType())),
+        T.StructField("has_value", T.StringType()),
+        T.StructField("negated", T.BooleanType()),
+        T.StructField("branch_idx", T.IntegerType()),  # null = base row; >=0 = or-branch
+    ]
+)
+
+
+@dataclass
+class ValidationReport:
+    violations: DataFrame  # (focus, shape, path, constraint, value)
+    conforms: bool
+    shapes_evaluated: int
+
+
+def _pc_rows(shapes: list[NodeShape]) -> list[tuple]:
+    rows: list[tuple] = []
+    pc_id = 0
+    for ns in shapes:
+        pcs = list(ns.properties)
+        if ns.self_constraint:
+            pcs.append(ns.self_constraint)
+        for pc in pcs:
+            rows.append(
+                (
+                    pc_id, ns.shape_id, pc.path, pc.min_count, pc.max_count,
+                    pc.clazz, pc.datatype, pc.node_kind, pc.node_ref,
+                    pc.in_values, pc.has_value, pc.negated, None,
+                )
+            )
+            for bi, b in enumerate(pc.or_branches):
+                rows.append(
+                    (
+                        pc_id, ns.shape_id, pc.path, None, None,
+                        b.clazz, b.datatype, b.node_kind, b.node_ref,
+                        b.in_values, b.has_value, b.negated, bi,
+                    )
+                )
+            pc_id += 1
+    return rows
+
+
+def _targets(
+    spark: SparkSession,
+    triples: DataFrame,
+    shapes: list[NodeShape],
+    tbox: TBoxIndex | None,
+) -> DataFrame:
+    """(shape_id, focus) — targetClass (expanded down the subclass closure; the
+    fused graph already materializes supertypes, so the closure expansion is a
+    correctness belt for pre-fusion inputs), implicit class targets, targetNode."""
+    cls_rows: list[tuple[str, str]] = []
+    node_rows: list[tuple[str, str]] = []
+    for ns in shapes:
+        classes = set(ns.target_classes)
+        if ns.implicit_class_target:
+            classes.add(ns.shape_id)
+        expanded: set[str] = set()
+        for c in classes:
+            expanded |= tbox.subclasses_of(c) if tbox else {c}
+        cls_rows += [(c, ns.shape_id) for c in sorted(expanded)]
+        node_rows += [(ns.shape_id, n) for n in ns.target_nodes]
+
+    types = triples.filter(F.col("p") == vocab.TYPE).select(
+        F.col("s").alias("focus"), F.col("o").alias("cls")
+    )
+    cls_map = F.broadcast(
+        spark.createDataFrame(cls_rows or [], "cls string, shape_id string")
+    )
+    by_class = types.join(cls_map, "cls").select("shape_id", "focus")
+    by_node = spark.createDataFrame(node_rows or [], "shape_id string, focus string")
+    return by_class.unionByName(by_node).distinct()
+
+
+def _value_conformance(col_prefix: str = "") -> F.Column:
+    """Short-circuiting per-value conformance for one constraint row: nodeKind →
+    datatype → in → class/node-ref flags (flags are join-produced booleans).
+    Null o (focus without values) is vacuously conforming."""
+    o = F.col("o")
+    is_lit = F.col("is_lit")
+    eff_dtype = F.coalesce(
+        F.col("o_lit.dtype"),
+        F.when(F.col("o_lit.lang").isNotNull(), F.lit(vocab.RDF + "langString")).otherwise(
+            F.lit(vocab.XSD + "string")
+        ),
+    )
+    node_kind_ok = (
+        F.when(F.col("node_kind").isNull(), F.lit(True))
+        .when(F.col("node_kind") == SH + "IRI", ~is_lit & ~o.startswith("_:"))
+        .when(F.col("node_kind") == SH + "Literal", is_lit)
+        .when(F.col("node_kind") == SH + "BlankNode", ~is_lit & o.startswith("_:"))
+        .otherwise(F.lit(True))
+    )
+    dtype_ok = F.when(F.col("datatype").isNull(), F.lit(True)).otherwise(
+        is_lit & (eff_dtype == F.col("datatype"))
+    )
+    in_ok = F.when(F.col("in_values").isNull(), F.lit(True)).otherwise(
+        F.array_contains(F.col("in_values"), o)
+    )
+    class_ok = F.when(F.col("clazz").isNull(), F.lit(True)).otherwise(
+        F.col("_class_hit").isNotNull()
+    )
+    ref_ok = F.when(F.col("node_ref").isNull(), F.lit(True)).otherwise(
+        F.col("_ref_ok")
+    )
+    conf = node_kind_ok & dtype_ok & in_ok & class_ok & ref_ok
+    conf = F.when(F.col("negated"), ~conf).otherwise(conf)
+    return F.when(o.isNull(), F.lit(True)).otherwise(conf)
+
+
+def validate(
+    spark: SparkSession,
+    triples: DataFrame,
+    shapes: list[NodeShape],
+    tbox: TBoxIndex | None = None,
+    max_ref_depth: int | None = None,
+) -> ValidationReport:
+    pc_rows = _pc_rows(shapes)
+    if not pc_rows:
+        empty = spark.createDataFrame(
+            [], "focus string, shape string, path string, constraint string, value string"
+        )
+        return ValidationReport(empty, True, 0)
+    pcs = F.broadcast(spark.createDataFrame(pc_rows, _PC_SCHEMA))
+    base_pcs = pcs.filter(F.col("branch_idx").isNull())
+
+    targets = _targets(spark, triples, shapes, tbox)
+    # focus × constraint grid for this shape's targets
+    tp = targets.join(base_pcs.select("pc_id", "shape_id"), "shape_id")
+
+    # values at each constrained path: broadcast join puts path filter into the scan
+    paths = base_pcs.select(F.col("pc_id").alias("v_pc_id"), F.col("path").alias("p")).filter(
+        F.col("p").isNotNull()
+    )
+    vals = (
+        triples.join(paths, "p")
+        .select(
+            F.col("v_pc_id").alias("pc_id"),
+            F.col("s").alias("focus"),
+            "o",
+            "o_lit",
+            "is_lit",
+        )
+    )
+    grid = tp.join(vals, ["pc_id", "focus"], "left")
+
+    # class-conformance flags for any constraint row (base or or-branch):
+    # the fused graph materializes supertypes, so (o type clazz) is a direct hit
+    types = triples.filter(F.col("p") == vocab.TYPE).select(
+        F.col("s").alias("_inst"), F.col("o").alias("_cls")
+    ).distinct()
+
+    all_pc_cols = pcs.select(
+        "pc_id", "branch_idx", "clazz", "datatype", "node_kind", "node_ref",
+        "in_values", "has_value", "negated",
+    )
+
+    # explode grid × (base + branches) so or-branches evaluate in the same pass
+    g = grid.join(all_pc_cols, "pc_id")
+    g = g.join(
+        types,
+        (g["o"] == types["_inst"]) & (g["clazz"] == types["_cls"]) & (~g["is_lit"].eqNullSafe(F.lit(True)) | ~g["is_lit"]),
+        "left",
+    ).withColumnRenamed("_inst", "_class_hit").drop("_cls")
+
+    # sh:node conforming sets: iterate to fixpoint (optimistic start)
+    ref_shapes = sorted({r[8] for r in pc_rows if r[8]})
+    if ref_shapes:
+        depth = max_ref_depth if max_ref_depth is not None else max(3, len(shapes))
+        g = _resolve_node_refs(spark, triples, shapes, tbox, g, ref_shapes, depth)
+    else:
+        g = g.withColumn("_ref_ok", F.lit(True))
+
+    conf = _value_conformance()
+    per_value = g.withColumn("_conf", conf)
+
+    # collapse or-branches: value conforms if base row conforms AND, when branches
+    # exist, at least one branch row conforms
+    vkey = ["pc_id", "shape_id", "focus", "o", "is_lit"]
+    collapsed = per_value.groupBy(*vkey).agg(
+        F.max(F.when(F.col("branch_idx").isNull(), F.col("_conf"))).alias("_base_conf"),
+        F.max(F.when(F.col("branch_idx").isNotNull(), F.col("_conf"))).alias("_branch_conf"),
+        F.first("has_value", ignorenulls=True).alias("has_value"),
+    )
+    collapsed = collapsed.withColumn(
+        "_vconf", F.col("_base_conf") & F.coalesce(F.col("_branch_conf"), F.lit(True))
+    )
+
+    # single-pass per-focus aggregation: every count/exists constraint at once
+    agg = collapsed.groupBy("pc_id", "shape_id", "focus").agg(
+        F.count("o").alias("cnt"),
+        F.sum(F.when(~F.col("_vconf"), 1).otherwise(0)).alias("bad_vals"),
+        F.max(
+            F.when(F.col("has_value").isNotNull() & (F.col("o") == F.col("has_value")), True)
+        ).alias("has_v"),
+    )
+    agg = agg.join(
+        base_pcs.select("pc_id", "path", "min_count", "max_count", "has_value"), "pc_id"
+    )
+
+    mk = lambda cond, constraint, value: agg.filter(cond).select(  # noqa: E731
+        F.col("focus"),
+        F.col("shape_id").alias("shape"),
+        F.col("path"),
+        F.lit(constraint).alias("constraint"),
+        value.cast("string").alias("value"),
+    )
+    v_min = mk(F.col("min_count").isNotNull() & (F.col("cnt") < F.col("min_count")), "minCount", F.col("cnt"))
+    v_max = mk(F.col("max_count").isNotNull() & (F.col("cnt") > F.col("max_count")), "maxCount", F.col("cnt"))
+    v_hv = mk(F.col("has_value").isNotNull() & (~F.coalesce(F.col("has_v"), F.lit(False))), "hasValue", F.col("has_value"))
+    v_vals = (
+        collapsed.filter(~F.col("_vconf"))
+        .join(base_pcs.select("pc_id", "path"), "pc_id")
+        .select(
+            "focus",
+            F.col("shape_id").alias("shape"),
+            "path",
+            F.lit("value").alias("constraint"),
+            F.col("o").cast("string").alias("value"),
+        )
+    )
+    violations = v_min.unionByName(v_max).unionByName(v_hv).unionByName(v_vals)
+    violations = violations.localCheckpoint(eager=True)
+    return ValidationReport(violations, violations.isEmpty(), len(shapes))
+
+
+def _resolve_node_refs(
+    spark: SparkSession,
+    triples: DataFrame,
+    shapes: list[NodeShape],
+    tbox: TBoxIndex | None,
+    g: DataFrame,
+    ref_shapes: list[str],
+    depth: int,
+) -> DataFrame:
+    """Compute conforming-node sets for referenced shapes by re-running the flat
+    validator with node_refs stubbed optimistically, then refining ``depth``
+    times.  Shape graphs are shallow (LUBM depth ≤ 3); cycles converge because
+    each iteration can only shrink conforming sets."""
+    by_id = {s.shape_id: s for s in shapes}
+
+    def strip_refs(ns: NodeShape) -> NodeShape:
+        import copy
+
+        c = copy.deepcopy(ns)
+        for pc in c.properties + ([c.self_constraint] if c.self_constraint else []):
+            pc.node_ref = None
+            for b in pc.or_branches:
+                b.node_ref = None
+        return c
+
+    # iteration 0: validate referenced shapes without their own refs
+    conforming: dict[str, DataFrame] = {}
+    current = {sid: strip_refs(by_id[sid]) for sid in ref_shapes if sid in by_id}
+    for _ in range(max(1, depth)):
+        nxt: dict[str, DataFrame] = {}
+        for sid, ns in current.items():
+            # conformance against ALL nodes typed with the shape's target class
+            # (sh:node checks membership of the value in the conforming set)
+            rep = validate(spark, triples, [by_id[sid] if sid in conforming else ns], tbox, max_ref_depth=0)
+            bad = rep.violations.select(F.col("focus").alias("node")).distinct()
+            tgt = _targets(spark, triples, [by_id[sid]], tbox).select(F.col("focus").alias("node"))
+            nxt[sid] = tgt.join(bad, "node", "left_anti").localCheckpoint(eager=True)
+        conforming = nxt
+        current = {sid: by_id[sid] for sid in current}  # full shapes from round 2
+        if depth <= 1:
+            break
+        depth -= 1
+
+    # union conforming sets labeled by shape id, left-join onto the grid
+    parts = [
+        df.select(F.lit(sid).alias("_ref_shape"), F.col("node").alias("_ref_node"))
+        for sid, df in conforming.items()
+    ]
+    if not parts:
+        return g.withColumn("_ref_ok", F.lit(True))
+    conf_union = parts[0]
+    for x in parts[1:]:
+        conf_union = conf_union.unionByName(x)
+    g = g.join(
+        conf_union,
+        (g["node_ref"] == conf_union["_ref_shape"]) & (g["o"] == conf_union["_ref_node"]),
+        "left",
+    )
+    g = g.withColumn(
+        "_ref_ok",
+        F.when(F.col("node_ref").isNull(), F.lit(True)).otherwise(F.col("_ref_node").isNotNull()),
+    ).drop("_ref_shape", "_ref_node")
+    return g

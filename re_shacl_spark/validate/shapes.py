@@ -1,0 +1,190 @@
+"""Driver-side SHACL shape compiler: shapes ttl → flattened constraint objects.
+
+Shapes graphs are tiny (≤8.4k lines in the reference's Shape_30.ttl) so they are
+parsed and compiled on the driver, then the compiled constraints parameterize
+distributed validation plans (validate/engine.py).
+
+Constraint workload fixed by the reference's committed shape graphs
+(/root/reference/source/ShapesGraphs/): sh:targetClass, sh:targetNode (+implicit
+class targets), sh:property+sh:path, sh:minCount/maxCount, sh:class, sh:node,
+sh:nodeKind, sh:datatype, sh:or, sh:in, sh:not, sh:hasValue.  The reference's
+nonstandard spellings (`sh:NodeKind` capital-N throughout Shape_30.ttl:772,
+`sh:value` in lubm/schema2.ttl:18, `sh:manCount` typo in schema3.ttl:177) are
+ignored exactly as pyshacl ignores unknown predicates — parity choice documented
+in SURVEY §2.9.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from dataclasses import dataclass, field
+
+from re_shacl_spark.model.triples import vocab
+
+SH = vocab.SH
+
+
+@dataclass
+class PropertyConstraint:
+    """One sh:property block (or one sh:or branch)."""
+
+    path: str | None = None
+    min_count: int | None = None
+    max_count: int | None = None
+    clazz: str | None = None
+    datatype: str | None = None
+    node_kind: str | None = None  # SH+"IRI" | SH+"Literal" | SH+"BlankNode"...
+    node_ref: str | None = None   # referenced NodeShape
+    in_values: list[str] | None = None
+    has_value: str | None = None
+    negated: bool = False
+    or_branches: list["PropertyConstraint"] = field(default_factory=list)
+
+    def has_value_constraints(self) -> bool:
+        return any(
+            x is not None
+            for x in (self.clazz, self.datatype, self.node_kind, self.node_ref, self.in_values, self.has_value)
+        ) or bool(self.or_branches)
+
+
+@dataclass
+class NodeShape:
+    shape_id: str
+    target_classes: list[str] = field(default_factory=list)
+    target_nodes: list[str] = field(default_factory=list)
+    implicit_class_target: bool = False  # shape IRI doubles as rdfs/owl Class
+    properties: list[PropertyConstraint] = field(default_factory=list)
+    # node-level constraints attached directly to the shape (sh:class etc.)
+    self_constraint: PropertyConstraint | None = None
+
+
+def _collect_list(pox: dict, head: str) -> list[str]:
+    """Walk an rdf:first/rest collection starting at ``head``."""
+    out = []
+    cur = head
+    while cur and cur != vocab.NIL:
+        firsts = pox.get(cur, {}).get(vocab.FIRST, [])
+        if firsts:
+            out.append(firsts[0])
+        rests = pox.get(cur, {}).get(vocab.REST, [])
+        cur = rests[0] if rests else None
+    return out
+
+
+def _compile_property(node: str, pox: dict) -> PropertyConstraint:
+    po = pox.get(node, {})
+
+    def one(pred):
+        v = po.get(SH + pred)
+        return v[0] if v else None
+
+    def num(pred):
+        v = one(pred)
+        return int(v) if v is not None else None
+
+    pc = PropertyConstraint(
+        path=one("path"),
+        min_count=num("minCount"),
+        max_count=num("maxCount"),
+        clazz=one("class"),
+        datatype=one("datatype"),
+        node_kind=one("nodeKind"),
+        node_ref=one("node"),
+        has_value=one("hasValue"),
+    )
+    in_head = one("in")
+    if in_head:
+        pc.in_values = _collect_list(pox, in_head)
+    or_head = one("or")
+    if or_head:
+        pc.or_branches = [_compile_property(b, pox) for b in _collect_list(pox, or_head)]
+    not_node = one("not")
+    if not_node:
+        # sh:not wraps an inner constraint on the same path: fold the inner
+        # value-constraints in and flip conformance (lubm/schema2.ttl:102-106)
+        inner = _compile_property(not_node, pox)
+        pc.negated = True
+        pc.clazz = pc.clazz or inner.clazz
+        pc.datatype = pc.datatype or inner.datatype
+        pc.node_kind = pc.node_kind or inner.node_kind
+        pc.in_values = pc.in_values or inner.in_values
+        pc.has_value = pc.has_value or inner.has_value
+    return pc
+
+
+def compile_shapes(shape_triples: list[tuple]) -> list[NodeShape]:
+    """shape_triples: engine-layout rows (from model/ttl.parse_ttl*)."""
+    pox: dict[str, dict[str, list[str]]] = defaultdict(lambda: defaultdict(list))
+    literal_vals: dict[tuple[str, str], list[str]] = defaultdict(list)
+    for row in shape_triples:
+        s, p, o = row[0], row[1], row[2]
+        pox[s][p].append(o)
+        if row[4]:  # is_lit
+            literal_vals[(s, p)].append(o)
+
+    shapes: list[NodeShape] = []
+    node_shape_ids = [s for s, po in pox.items() if SH + "NodeShape" in po.get(vocab.TYPE, [])]
+    # PropertyShapes declared standalone (Shape_30 style: `a sh:PropertyShape`)
+    # with no owning NodeShape listing them are grouped per target via sh:path
+    # only when referenced; the reference feeds them through pyshacl which treats
+    # unreferenced property shapes with targets of their own — Shape_30 property
+    # shapes carry no targets, so they bind via the NodeShape's sh:property.
+    for sid in sorted(node_shape_ids):
+        po = pox[sid]
+        ns = NodeShape(
+            shape_id=sid,
+            target_classes=sorted(po.get(SH + "targetClass", [])),
+            target_nodes=sorted(po.get(SH + "targetNode", [])),
+            implicit_class_target=(
+                "http://www.w3.org/2002/07/owl#Class" in po.get(vocab.TYPE, [])
+                or vocab.RDFS + "Class" in po.get(vocab.TYPE, [])
+            ),
+        )
+        for pnode in po.get(SH + "property", []):
+            pc = _compile_property(pnode, pox)
+            if pc.path:
+                ns.properties.append(pc)
+        self_pc = _compile_property(sid, pox)
+        self_pc.path = None
+        if self_pc.has_value_constraints():
+            ns.self_constraint = self_pc
+        shapes.append(ns)
+    return shapes
+
+
+def rewrite_shapes(shapes: list[NodeShape], node_rep: dict[str, str], class_rep: dict[str, str], prop_rep: dict[str, str]) -> list[NodeShape]:
+    """Canonicalize shape references through the merge maps — the reference
+    rewrites sh:path (re_shacl.py:545-552) and sh:targetNode (:598-602) so
+    validation runs against the fused graph's canonical ids."""
+    c = lambda x: class_rep.get(x, node_rep.get(x, x)) if x else x  # noqa: E731
+    p = lambda x: prop_rep.get(x, node_rep.get(x, x)) if x else x  # noqa: E731
+    n = lambda x: node_rep.get(x, x) if x else x  # noqa: E731
+
+    def rw_pc(pc: PropertyConstraint) -> PropertyConstraint:
+        return PropertyConstraint(
+            path=p(pc.path),
+            min_count=pc.min_count,
+            max_count=pc.max_count,
+            clazz=c(pc.clazz),
+            datatype=pc.datatype,
+            node_kind=pc.node_kind,
+            node_ref=pc.node_ref,
+            in_values=[n(v) for v in pc.in_values] if pc.in_values else None,
+            has_value=n(pc.has_value),
+            negated=pc.negated,
+            or_branches=[rw_pc(b) for b in pc.or_branches],
+        )
+
+    out = []
+    for ns in shapes:
+        out.append(
+            NodeShape(
+                shape_id=ns.shape_id,
+                target_classes=sorted({c(tc) for tc in ns.target_classes}),
+                target_nodes=sorted({n(tn) for tn in ns.target_nodes}),
+                implicit_class_target=ns.implicit_class_target,
+                properties=[rw_pc(pc) for pc in ns.properties],
+                self_constraint=rw_pc(ns.self_constraint) if ns.self_constraint else None,
+            )
+        )
+    return out

@@ -1,0 +1,151 @@
+"""End-to-end fusion parity vs the naive oracle on the reference's own fixture
+(/root/reference/source/Datasets/test.ttl — equivalence loop, subclass chain,
+domain/range, subproperty+equivalentProperty, sameAs chain, inverseOf,
+reflexive type) plus synthetic rule-coverage fixtures.
+
+Contract: canonical (s,p,o) set equality excluding owl:sameAs provenance rows
+→ precision = recall = 1.0 ≥ the 0.95 target in BASELINE.json.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from re_shacl_spark.model.triples import triples_df, vocab
+from re_shacl_spark.model.ttl import parse_ttl_file, parse_ttl
+from re_shacl_spark.pipeline import fuse
+from re_shacl_spark.reasoning.checks import FusionError
+
+from tests.naive_oracle import oracle_fuse
+
+TEST_TTL = "/root/reference/source/Datasets/test.ttl"
+
+
+def _fuse_and_compare(spark, rows):
+    df = triples_df(spark, rows)
+    res = fuse(spark, df)
+    got = {
+        (r.s, r.p, r.o, r.is_lit)
+        for r in res.triples.collect()
+        if r.p != vocab.SAMEAS  # provenance compared separately via rep maps
+    }
+    oracle_in = {(s, p, o, is_lit) for (s, p, o, _olit, is_lit, _src) in rows}
+    want, want_rep = oracle_fuse(oracle_in)
+    want = {t for t in want if t[1] != vocab.SAMEAS}
+
+    missing, extra = want - got, got - want
+    assert not missing and not extra, f"missing={sorted(missing)[:10]} extra={sorted(extra)[:10]}"
+
+    got_rep = {r.member: r.rep for r in res.rep_map.collect()}
+    got_rep.update({k: v for k, v in res.tbox.class_rep.items() if k != v})
+    got_rep.update({k: v for k, v in res.tbox.prop_rep.items() if k != v})
+    assert got_rep == want_rep
+    return res
+
+
+def test_reference_fixture_parity(spark):
+    rows = parse_ttl_file(TEST_TTL)
+    res = _fuse_and_compare(spark, rows)
+    # the sameAs chain john=jonathan=johnny collapses to min IRI 'john'
+    ex = "http://example.org/"
+    reps = {r.member: r.rep for r in res.rep_map.collect()}
+    assert reps == {ex + "jonathan": ex + "john", ex + "johnny": ex + "john"}
+    # equivalence loop Person≡Human≡Entity≡Being collapses to Being (min IRI)
+    assert res.tbox.c(ex + "Person") == ex + "Being"
+    # derived: john knows mary (connectedWith≡relatedTo ⊑ knows), inverse hasFriend
+    triples = {(r.s, r.p, r.o) for r in res.triples.collect()}
+    assert (ex + "john", ex + "knows", ex + "mary") in triples
+    assert (ex + "mary", ex + "hasFriend", ex + "john") in triples
+    # domain/range typing + subclass chain up to Mortal
+    assert (ex + "mary", vocab.TYPE, ex + "Being") in triples
+    assert (ex + "john", vocab.TYPE, ex + "Mortal") in triples
+
+
+def test_functional_property_sameas(spark):
+    ttl = """
+    @prefix : <http://x.org/> .
+    @prefix owl: <http://www.w3.org/2002/07/owl#> .
+    :bornIn a owl:FunctionalProperty .
+    :p1 :bornIn :cityA .
+    :p1 :bornIn :cityB .
+    :cityA :population :big .
+    """
+    rows = parse_ttl(ttl)
+    res = _fuse_and_compare(spark, rows)
+    reps = {r.member: r.rep for r in res.rep_map.collect()}
+    assert reps == {"http://x.org/cityB": "http://x.org/cityA"}
+    triples = {(r.s, r.p, r.o) for r in res.triples.collect()}
+    assert ("http://x.org/p1", "http://x.org/bornIn", "http://x.org/cityA") in triples
+    assert ("http://x.org/p1", "http://x.org/bornIn", "http://x.org/cityB") not in triples
+
+
+def test_inverse_functional_hub(spark):
+    ttl = """
+    @prefix : <http://x.org/> .
+    @prefix owl: <http://www.w3.org/2002/07/owl#> .
+    :email a owl:InverseFunctionalProperty .
+    :a1 :email :m . :a2 :email :m . :a3 :email :m .
+    """
+    res = _fuse_and_compare(spark, parse_ttl(ttl))
+    reps = {r.member: r.rep for r in res.rep_map.collect()}
+    assert reps == {"http://x.org/a2": "http://x.org/a1", "http://x.org/a3": "http://x.org/a1"}
+
+
+def test_transitive_symmetric(spark):
+    ttl = """
+    @prefix : <http://x.org/> .
+    @prefix owl: <http://www.w3.org/2002/07/owl#> .
+    :partOf a owl:TransitiveProperty .
+    :near a owl:SymmetricProperty .
+    :a :partOf :b . :b :partOf :c . :c :partOf :d .
+    :x :near :y .
+    """
+    res = _fuse_and_compare(spark, parse_ttl(ttl))
+    triples = {(r.s, r.p, r.o) for r in res.triples.collect()}
+    assert ("http://x.org/a", "http://x.org/partOf", "http://x.org/d") in triples
+    assert ("http://x.org/y", "http://x.org/near", "http://x.org/x") in triples
+
+
+def test_disjoint_violation_raises(spark):
+    ttl = """
+    @prefix : <http://x.org/> .
+    @prefix owl: <http://www.w3.org/2002/07/owl#> .
+    :Cat owl:disjointWith :Dog .
+    :rex a :Cat . :rex a :Dog .
+    """
+    df = triples_df(spark, parse_ttl(ttl))
+    with pytest.raises(FusionError):
+        fuse(spark, df)
+
+
+def test_sameas_merges_through_equivalent_classes(spark):
+    """sameAs chain + class equivalence interact: merged node keeps union of types."""
+    ttl = """
+    @prefix : <http://x.org/> .
+    @prefix owl: <http://www.w3.org/2002/07/owl#> .
+    :A owl:equivalentClass :B .
+    :n1 a :A . :n2 a :B .
+    :n1 owl:sameAs :n2 .
+    """
+    res = _fuse_and_compare(spark, parse_ttl(ttl))
+    triples = {(r.s, r.p, r.o) for r in res.triples.collect()}
+    assert ("http://x.org/n1", vocab.TYPE, "http://x.org/A") in triples
+
+
+def test_determinism_two_parallelism_levels():
+    """Same input at local[2] and local[8] → byte-identical canonical output.
+    Stronger than the reference, whose representative choice is iteration-order
+    dependent (SURVEY §2.6)."""
+    from re_shacl_spark.session import get_spark
+
+    rows = parse_ttl_file(TEST_TTL)
+    outs = []
+    for n in (2, 8):
+        s = get_spark(f"det-{n}", master=f"local[{n}]", shuffle_partitions=n)
+        try:
+            res = fuse(s, triples_df(s, rows))
+            outs.append(sorted((r.s, r.p, r.o, r.is_lit) for r in res.triples.collect()))
+        finally:
+            s.stop()
+    assert outs[0] == outs[1]
