@@ -1,0 +1,89 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Extra keys: triples_per_sec (BASELINE.json's throughput metric — fused triples
+emitted by the flagship fusion per second of its wall time) and rows per query.
+
+Each query is forced end-to-end with a noop write (full computation, no driver
+collect bottleneck).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from re_shacl_spark import kgbench  # noqa: E402
+from re_shacl_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "kg_fuse",
+    "j10_inverse_functional_sameas",
+    "j13_connected_components",
+    "v_mincount",
+    "kg_emit_triples",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "sim_topk_bruteforce",
+    "text_quality",
+    "text_fingerprint",
+    "rel_q1",
+]
+
+
+def _force(df) -> int:
+    """Materialize the full result; returns row count (cheap after cache)."""
+    df = df.cache()
+    n = df.count()
+    df.unpersist()
+    return n
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/codegen paths once (reference protocol: preheat before timing,
+    # run_experiment.py:156-159)
+    kgbench.q_rel_q1(spark, sf_dir).count()
+
+    per_q: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    triples_per_sec = None
+    for name in HEADLINE:
+        t0 = time.time()
+        n = _force(kgbench.QUERIES[name](spark, sf_dir))
+        dt = time.time() - t0
+        per_q[name] = round(dt, 3)
+        rows[name] = n
+        if name == "kg_fuse":
+            triples_per_sec = round(n / dt, 1)
+
+    total = round(sum(per_q.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": per_q,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "triples_per_sec": triples_per_sec,
+                "rows": rows,
+                "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

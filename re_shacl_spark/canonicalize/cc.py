@@ -90,6 +90,9 @@ def connected_components(
     min, one row per non-representative member (identity rows omitted —
     consumers rewrite via left-join + coalesce).
     """
+    from re_shacl_spark.session import ensure_fixpoint_confs
+
+    ensure_fixpoint_confs(edges.sparkSession)
     a, b = edges.columns[:2]
     e = (
         edges.select(F.col(a).alias("u"), F.col(b).alias("v"))

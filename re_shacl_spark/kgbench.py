@@ -1,0 +1,956 @@
+"""Driver-contract bridge: every SURVEY.md §2 operator as a (Spark query,
+DuckDB oracle SQL) pair over the driver's parquet tables.
+
+The relational tables (customer/orders/nation/region/supplier) are mapped to a
+deterministic KG (the `rel_triples` construction below, mirrored 1:1 by
+REL_TRIPLES_CTE) so each reasoning operator — rules J1-J17, connected
+components J13, the consistency checks, the SHACL validation aggregates — has
+an exact ANSI-SQL oracle.  Text/dedup/similarity operators run on the
+documents/embeddings tables directly.
+
+Determinism rules that make the value-hash comparison possible:
+  - all hashes are md5-derived (hex→int) — reproducible in DuckDB;
+  - no cross-row float sums: aggregates use integer-exact inputs; cosine and
+    quality scores are per-row folds rounded to fixed decimals;
+  - Spark int columns are cast to long so schemas match DuckDB BIGINT.
+
+Reference-semantics citations live in the underlying modules (reasoning/rules,
+canonicalize/cc, validate/engine) — this module only wires them to the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from re_shacl_spark.canonicalize.cc import connected_components
+from re_shacl_spark.extract.html import extract_text
+from re_shacl_spark.extract.mentions import detect_mentions, mention_pairs
+from re_shacl_spark.extract.emit import emit_triples
+from re_shacl_spark.model.triples import O_LIT_TYPE, iri_triple, triples_df, vocab
+from re_shacl_spark.ops import dedup as D
+from re_shacl_spark.ops import similarity as S
+from re_shacl_spark.ops import textstats as TS
+from re_shacl_spark.pipeline import fuse
+from re_shacl_spark.reasoning import checks as CK
+from re_shacl_spark.reasoning.rules import RuleEngine, Scope
+from re_shacl_spark.reasoning.tbox import build_tbox_index, extract_tbox
+from re_shacl_spark.validate.engine import validate
+from re_shacl_spark.validate.shapes import NodeShape, PropertyConstraint
+
+TYPE = vocab.TYPE
+SUBCLASS = vocab.SUBCLASS
+SUBPROP = vocab.SUBPROP
+DOMAIN = vocab.DOMAIN
+RANGE = vocab.RANGE
+INV = vocab.INVERSEOF
+SAMEAS = vocab.SAMEAS
+DIFFERENT = vocab.DIFFERENT
+OWL = vocab.OWL
+
+def _null_lit() -> F.Column:
+    # built lazily: Column construction needs an active SparkContext
+    return F.lit(None).cast(O_LIT_TYPE)
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _iri(prefix: str, col) -> F.Column:
+    return F.concat(F.lit(prefix), col.cast("string"))
+
+
+def _rows(df: DataFrame, s, p, o) -> DataFrame:
+    """IRI-object triple rows from column expressions."""
+    return df.select(
+        s.alias("s"),
+        (p if not isinstance(p, str) else F.lit(p)).alias("p"),
+        o.alias("o"),
+        _null_lit().alias("o_lit"),
+        F.lit(False).alias("is_lit"),
+        F.lit(None).cast("string").alias("src_url"),
+    )
+
+
+def _lit_rows(df: DataFrame, s, p, lex, dtype) -> DataFrame:
+    """Literal-object triple rows; o carries the lexical form."""
+    return df.select(
+        s.alias("s"),
+        F.lit(p).alias("p"),
+        lex.alias("o"),
+        F.struct(
+            lex.alias("lex"), dtype.alias("dtype"), F.lit(None).cast("string").alias("lang")
+        ).alias("o_lit"),
+        F.lit(True).alias("is_lit"),
+        F.lit(None).cast("string").alias("src_url"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# shared KG construction over the relational tables (Spark + SQL mirror)
+# ---------------------------------------------------------------------------
+
+TBOX_ROWS: list[tuple[str, str, str]] = [
+    ("kg:placedBy", DOMAIN, "kg:Order"),
+    ("kg:placedBy", RANGE, "kg:Customer"),
+    ("kg:placedBy", INV, "kg:ordered"),
+    ("kg:inNation", RANGE, "kg:Nation"),
+    ("kg:inRegion", RANGE, "kg:Region"),
+    ("kg:inNation", SUBPROP, "kg:locatedIn"),
+    ("kg:inRegion", SUBPROP, "kg:locatedIn"),
+    ("kg:locatedIn", TYPE, OWL + "TransitiveProperty"),
+    ("kg:next", TYPE, OWL + "TransitiveProperty"),
+    ("kg:adjacentTo", TYPE, OWL + "SymmetricProperty"),
+    ("kg:Customer", SUBCLASS, "kg:Agent"),
+    ("kg:Supplier", SUBCLASS, "kg:Agent"),
+    ("kg:Agent", SUBCLASS, "kg:Thing"),
+    ("kg:Nation", SUBCLASS, "kg:Place"),
+    ("kg:Region", SUBCLASS, "kg:Place"),
+]
+
+# transitive closures of the TBox above (what build_tbox_index materializes)
+SUBCLASS_CLOSURE = [
+    ("kg:Customer", "kg:Agent"),
+    ("kg:Customer", "kg:Thing"),
+    ("kg:Supplier", "kg:Agent"),
+    ("kg:Supplier", "kg:Thing"),
+    ("kg:Agent", "kg:Thing"),
+    ("kg:Nation", "kg:Place"),
+    ("kg:Region", "kg:Place"),
+]
+SUBPROP_CLOSURE = [("kg:inNation", "kg:locatedIn"), ("kg:inRegion", "kg:locatedIn")]
+
+
+def rel_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _read(spark, sf_dir, "customer")
+    supp = _read(spark, sf_dir, "supplier")
+    nat = _read(spark, sf_dir, "nation")
+    orders = _read(spark, sf_dir, "orders")
+    parts = [
+        _rows(cust, _iri("c:", F.col("c_custkey")), "kg:inNation", _iri("n:", F.col("c_nationkey"))),
+        _rows(cust, _iri("c:", F.col("c_custkey")), TYPE, F.lit("kg:Customer")),
+        _rows(supp, _iri("s:", F.col("s_suppkey")), "kg:inNation", _iri("n:", F.col("s_nationkey"))),
+        _rows(supp, _iri("s:", F.col("s_suppkey")), TYPE, F.lit("kg:Supplier")),
+        _rows(nat, _iri("n:", F.col("n_nationkey")), "kg:inRegion", _iri("r:", F.col("n_regionkey"))),
+        _rows(nat, _iri("n:", F.col("n_nationkey")), "kg:adjacentTo", _iri("n:", (F.col("n_nationkey") + 1) % 25)),
+        _rows(
+            nat.filter(F.col("n_nationkey") < 24),
+            _iri("n:", F.col("n_nationkey")),
+            "kg:next",
+            _iri("n:", F.col("n_nationkey") + 1),
+        ),
+        _rows(orders, _iri("o:", F.col("o_orderkey")), "kg:placedBy", _iri("c:", F.col("o_custkey"))),
+        triples_df(spark, [iri_triple(*t) for t in TBOX_ROWS]),
+    ]
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x)
+    return out
+
+
+def _sql_tbox_values() -> str:
+    rows = ",\n      ".join(f"('{s}','{p}','{o}')" for s, p, o in TBOX_ROWS)
+    return f"SELECT * FROM (VALUES\n      {rows}) tb(s,p,o)"
+
+
+REL_TRIPLES_CTE = f"""
+  base(s,p,o) AS (
+    SELECT 'c:'||c_custkey::varchar, 'kg:inNation', 'n:'||c_nationkey::varchar FROM customer
+    UNION ALL SELECT 'c:'||c_custkey::varchar, '{TYPE}', 'kg:Customer' FROM customer
+    UNION ALL SELECT 's:'||s_suppkey::varchar, 'kg:inNation', 'n:'||s_nationkey::varchar FROM supplier
+    UNION ALL SELECT 's:'||s_suppkey::varchar, '{TYPE}', 'kg:Supplier' FROM supplier
+    UNION ALL SELECT 'n:'||n_nationkey::varchar, 'kg:inRegion', 'r:'||n_regionkey::varchar FROM nation
+    UNION ALL SELECT 'n:'||n_nationkey::varchar, 'kg:adjacentTo', 'n:'||((n_nationkey+1)%25)::varchar FROM nation
+    UNION ALL SELECT 'n:'||n_nationkey::varchar, 'kg:next', 'n:'||(n_nationkey+1)::varchar FROM nation WHERE n_nationkey < 24
+    UNION ALL SELECT 'o:'||o_orderkey::varchar, 'kg:placedBy', 'c:'||o_custkey::varchar FROM orders
+    UNION ALL {_sql_tbox_values()}
+  )"""
+
+
+def _engine(triples: DataFrame) -> RuleEngine:
+    tb = build_tbox_index(extract_tbox(triples))
+    return RuleEngine(triples.sparkSession, tb, Scope.unrestricted())
+
+
+def _spo(df: DataFrame) -> DataFrame:
+    return df.select("s", "p", "o").distinct()
+
+
+# ---------------------------------------------------------------------------
+# J-rules over the shared KG
+# ---------------------------------------------------------------------------
+
+def q_j1_domain(spark, sf_dir):
+    t = rel_triples(spark, sf_dir)
+    return _spo(_engine(t).rule_domain(t))
+
+
+SQL_J1 = f"""WITH {REL_TRIPLES_CTE.strip()}
+SELECT DISTINCT s, '{TYPE}' AS p, 'kg:Order' AS o FROM base WHERE p = 'kg:placedBy'"""
+
+
+def q_j2_range(spark, sf_dir):
+    t = rel_triples(spark, sf_dir)
+    return _spo(_engine(t).rule_range(t))
+
+
+SQL_J2 = f"""WITH {REL_TRIPLES_CTE.strip()}
+SELECT DISTINCT o AS s, '{TYPE}' AS p, 'kg:Customer' AS o FROM base WHERE p = 'kg:placedBy'
+UNION SELECT DISTINCT o, '{TYPE}', 'kg:Nation' FROM base WHERE p = 'kg:inNation'
+UNION SELECT DISTINCT o, '{TYPE}', 'kg:Region' FROM base WHERE p = 'kg:inRegion'"""
+
+
+def q_j3_subproperty(spark, sf_dir):
+    t = rel_triples(spark, sf_dir)
+    return _spo(_engine(t).rule_subproperty(t))
+
+
+SQL_J3 = f"""WITH {REL_TRIPLES_CTE.strip()}
+SELECT DISTINCT s, 'kg:locatedIn' AS p, o FROM base WHERE p IN ('kg:inNation','kg:inRegion')"""
+
+
+def q_j4_subclass(spark, sf_dir):
+    t = rel_triples(spark, sf_dir)
+    return _spo(_engine(t).rule_subclass(t))
+
+
+def _sql_closure_values(pairs, names) -> str:
+    rows = ",".join(f"('{a}','{b}')" for a, b in pairs)
+    return f"(VALUES {rows}) {names}"
+
+
+SQL_J4 = f"""WITH {REL_TRIPLES_CTE.strip()}
+SELECT DISTINCT b.s, '{TYPE}' AS p, m.super AS o
+FROM base b JOIN {_sql_closure_values(SUBCLASS_CLOSURE, "m(cls, super)")} ON b.o = m.cls
+WHERE b.p = '{TYPE}'"""
+
+
+def q_j5_inverse(spark, sf_dir):
+    t = rel_triples(spark, sf_dir)
+    return _spo(_engine(t).rule_inverse(t))
+
+
+SQL_J5 = f"""WITH {REL_TRIPLES_CTE.strip()}
+SELECT DISTINCT o AS s, 'kg:ordered' AS p, s AS o FROM base WHERE p = 'kg:placedBy'"""
+
+
+def q_j6_symmetric(spark, sf_dir):
+    t = rel_triples(spark, sf_dir)
+    return _spo(_engine(t).rule_symmetric(t))
+
+
+SQL_J6 = f"""WITH {REL_TRIPLES_CTE.strip()}
+SELECT DISTINCT o AS s, 'kg:adjacentTo' AS p, s AS o FROM base WHERE p = 'kg:adjacentTo'"""
+
+
+def q_j7_transitive(spark, sf_dir):
+    t = rel_triples(spark, sf_dir)
+    return _spo(_engine(t).rule_transitive(t))
+
+
+# closure of kg:next (a chain) — recursive CTE; kg:locatedIn has no base edges
+SQL_J7 = f"""WITH RECURSIVE {REL_TRIPLES_CTE.strip()},
+nxt(s,o) AS (SELECT s, o FROM base WHERE p = 'kg:next'),
+clo(s,o) AS (SELECT s, o FROM nxt UNION SELECT c.s, n.o FROM clo c JOIN nxt n ON c.o = n.s)
+SELECT DISTINCT s, 'kg:next' AS p, o FROM clo"""
+
+
+def q_j9_functional_sameas(spark, sf_dir):
+    cust = _read(spark, sf_dir, "customer")
+    edges = _rows(cust, _iri("g:", F.col("c_custkey") % 50), "kg:rep", _iri("c:", F.col("c_custkey")))
+    tb = triples_df(spark, [iri_triple("kg:rep", TYPE, OWL + "FunctionalProperty")])
+    t = edges.unionByName(tb)
+    return _engine(t).sameas_functional(t)
+
+
+SQL_J9 = """WITH e AS (SELECT 'g:'||(c_custkey%50)::varchar s, 'c:'||c_custkey::varchar o FROM customer)
+SELECT DISTINCT a.o AS a, b.o AS b FROM e a JOIN e b ON a.s = b.s AND a.o < b.o"""
+
+
+def q_j10_inverse_functional_sameas(spark, sf_dir):
+    cust = _read(spark, sf_dir, "customer")
+    edges = _rows(cust, _iri("c:", F.col("c_custkey")), "kg:mail", _iri("m:", F.col("c_custkey") % 40))
+    tb = triples_df(spark, [iri_triple("kg:mail", TYPE, OWL + "InverseFunctionalProperty")])
+    t = edges.unionByName(tb)
+    return _engine(t).sameas_inverse_functional(t)
+
+
+SQL_J10 = """WITH e AS (SELECT 'c:'||c_custkey::varchar s, 'm:'||(c_custkey%40)::varchar o FROM customer)
+SELECT DISTINCT a.s AS a, b.s AS b FROM e a JOIN e b ON a.o = b.o AND a.s < b.s"""
+
+
+def q_j13_connected_components(spark, sf_dir):
+    """Large-star/small-star CC over a skewed union graph (8-groups + one hub
+    component): member → min-IRI representative."""
+    cust = _read(spark, sf_dir, "customer")
+    base = cust.select(
+        _iri("v", F.col("c_custkey")).alias("u"),
+        _iri("v", F.col("c_custkey") - F.col("c_custkey") % 8).alias("v"),
+    )
+    hub = cust.filter(F.col("c_custkey") % 97 == 0).select(
+        _iri("v", F.col("c_custkey")).alias("u"), F.lit("v0").alias("v")
+    )
+    return connected_components(base.unionByName(hub), n_salts=8)
+
+
+SQL_J13 = """WITH RECURSIVE e(a,b) AS (
+  SELECT 'v'||c_custkey::varchar, 'v'||(c_custkey - c_custkey%8)::varchar FROM customer
+  UNION ALL SELECT 'v'||c_custkey::varchar, 'v0' FROM customer WHERE c_custkey%97 = 0
+),
+und(a,b) AS (SELECT a,b FROM e WHERE a != b UNION SELECT b,a FROM e WHERE a != b),
+reach(n,m) AS (SELECT a,b FROM und UNION SELECT r.n, u.b FROM reach r JOIN und u ON r.m = u.a),
+rep AS (SELECT n, least(n, min(m)) AS rep FROM reach GROUP BY n)
+SELECT n AS member, rep FROM rep WHERE rep != n"""
+
+
+# ---------------------------------------------------------------------------
+# consistency checks (J14-J17)
+# ---------------------------------------------------------------------------
+
+def q_chk_disjoint_classes(spark, sf_dir):
+    cust = _read(spark, sf_dir, "customer")
+    gold = _rows(cust.filter(F.col("c_custkey") % 2 == 0), _iri("c:", F.col("c_custkey")), TYPE, F.lit("kg:Gold"))
+    silver = _rows(cust.filter(F.col("c_custkey") % 3 == 0), _iri("c:", F.col("c_custkey")), TYPE, F.lit("kg:Silver"))
+    tb_rows = [iri_triple("kg:Gold", vocab.DISJOINTWITH, "kg:Silver")]
+    t = gold.unionByName(silver).unionByName(triples_df(spark, tb_rows))
+    tbox = build_tbox_index(extract_tbox(t))
+    return CK.check_disjoint_classes(t, tbox)
+
+
+SQL_CHK_DISJOINT = """SELECT 'c:'||c_custkey::varchar AS inst, 'kg:Gold' AS c1, 'kg:Silver' AS c2
+FROM customer WHERE c_custkey % 6 = 0"""
+
+
+def q_chk_asymmetric(spark, sf_dir):
+    cust = _read(spark, sf_dir, "customer")
+    fwd = _rows(cust, _iri("x:", F.col("c_custkey")), "kg:beats", _iri("x:", F.col("c_custkey") + 1))
+    rev = _rows(
+        cust.filter(F.col("c_custkey") % 4 == 0),
+        _iri("x:", F.col("c_custkey") + 1),
+        "kg:beats",
+        _iri("x:", F.col("c_custkey")),
+    )
+    tb = triples_df(spark, [iri_triple("kg:beats", TYPE, OWL + "AsymmetricProperty")])
+    t = fwd.unionByName(rev).unionByName(tb)
+    tbox = build_tbox_index(extract_tbox(t))
+    return CK.check_asymmetric(t, tbox)
+
+
+SQL_CHK_ASYM = """SELECT 'x:'||c_custkey::varchar AS s, 'kg:beats' AS p, 'x:'||(c_custkey+1)::varchar AS o
+FROM customer WHERE c_custkey % 4 = 0
+UNION ALL SELECT 'x:'||(c_custkey+1)::varchar, 'kg:beats', 'x:'||c_custkey::varchar
+FROM customer WHERE c_custkey % 4 = 0"""
+
+
+def q_chk_irreflexive(spark, sf_dir):
+    cust = _read(spark, sf_dir, "customer")
+    off = F.when(F.col("c_custkey") % 5 == 0, F.lit(0)).otherwise(F.lit(1))
+    edges = _rows(cust, _iri("w:", F.col("c_custkey")), "kg:nextTo", _iri("w:", F.col("c_custkey") + off))
+    tb = triples_df(spark, [iri_triple("kg:nextTo", TYPE, OWL + "IrreflexiveProperty")])
+    t = edges.unionByName(tb)
+    tbox = build_tbox_index(extract_tbox(t))
+    return CK.check_irreflexive(t, tbox)
+
+
+SQL_CHK_IRREFLEXIVE = """SELECT 'w:'||c_custkey::varchar AS s, 'kg:nextTo' AS p, 'w:'||c_custkey::varchar AS o
+FROM customer WHERE c_custkey % 5 = 0"""
+
+
+def q_chk_same_different(spark, sf_dir):
+    cust = _read(spark, sf_dir, "customer")
+    same = _rows(cust.filter(F.col("c_custkey") % 2 == 0), _iri("a:", F.col("c_custkey")), SAMEAS, _iri("b:", F.col("c_custkey")))
+    diff = _rows(cust.filter(F.col("c_custkey") % 3 == 0), _iri("a:", F.col("c_custkey")), DIFFERENT, _iri("b:", F.col("c_custkey")))
+    return CK.check_same_different(same.unionByName(diff))
+
+
+SQL_CHK_SAMEDIFF = """SELECT 'a:'||c_custkey::varchar AS a, 'b:'||c_custkey::varchar AS b
+FROM customer WHERE c_custkey % 6 = 0"""
+
+
+# ---------------------------------------------------------------------------
+# SHACL validation aggregates (§2.9)
+# ---------------------------------------------------------------------------
+
+def _cust_targets(spark, sf_dir):
+    cust = _read(spark, sf_dir, "customer")
+    return _rows(cust, _iri("c:", F.col("c_custkey")), TYPE, F.lit("kg:Customer"))
+
+
+def q_v_mincount(spark, sf_dir):
+    orders = _read(spark, sf_dir, "orders")
+    vals = _rows(orders, _iri("c:", F.col("o_custkey")), "kg:ordered", _iri("o:", F.col("o_orderkey")))
+    t = _cust_targets(spark, sf_dir).unionByName(vals)
+    shapes = [NodeShape("sh:CustShape", target_classes=["kg:Customer"],
+                        properties=[PropertyConstraint(path="kg:ordered", min_count=2)])]
+    return validate(spark, t, shapes).violations
+
+
+SQL_V_MINCOUNT = """WITH v AS (SELECT 'c:'||o_custkey::varchar f, 'o:'||o_orderkey::varchar o FROM orders),
+c AS (SELECT 'c:'||c_custkey::varchar f FROM customer),
+cnt AS (SELECT c.f, count(DISTINCT v.o) n FROM c LEFT JOIN v ON c.f = v.f GROUP BY c.f)
+SELECT f AS focus, 'sh:CustShape' AS shape, 'kg:ordered' AS path, 'minCount' AS "constraint", n::varchar AS value
+FROM cnt WHERE n < 2"""
+
+
+def q_v_maxcount(spark, sf_dir):
+    orders = _read(spark, sf_dir, "orders")
+    vals = _rows(orders, _iri("c:", F.col("o_custkey")), "kg:ordered", _iri("o:", F.col("o_orderkey")))
+    t = _cust_targets(spark, sf_dir).unionByName(vals)
+    shapes = [NodeShape("sh:CustShape", target_classes=["kg:Customer"],
+                        properties=[PropertyConstraint(path="kg:ordered", max_count=15)])]
+    return validate(spark, t, shapes).violations
+
+
+SQL_V_MAXCOUNT = """WITH v AS (SELECT 'c:'||o_custkey::varchar f, 'o:'||o_orderkey::varchar o FROM orders),
+c AS (SELECT 'c:'||c_custkey::varchar f FROM customer),
+cnt AS (SELECT c.f, count(DISTINCT v.o) n FROM c LEFT JOIN v ON c.f = v.f GROUP BY c.f)
+SELECT f AS focus, 'sh:CustShape' AS shape, 'kg:ordered' AS path, 'maxCount' AS "constraint", n::varchar AS value
+FROM cnt WHERE n > 15"""
+
+
+def q_v_class(spark, sf_dir):
+    cust = _read(spark, sf_dir, "customer")
+    nat = _read(spark, sf_dir, "nation")
+    vals = _rows(cust, _iri("c:", F.col("c_custkey")), "kg:inNation", _iri("n:", F.col("c_nationkey")))
+    ntypes = _rows(nat.filter(F.col("n_nationkey") % 5 != 0), _iri("n:", F.col("n_nationkey")), TYPE, F.lit("kg:Nation"))
+    t = _cust_targets(spark, sf_dir).unionByName(vals).unionByName(ntypes)
+    shapes = [NodeShape("sh:CustShape", target_classes=["kg:Customer"],
+                        properties=[PropertyConstraint(path="kg:inNation", clazz="kg:Nation")])]
+    return validate(spark, t, shapes).violations
+
+
+SQL_V_CLASS = """SELECT 'c:'||c_custkey::varchar AS focus, 'sh:CustShape' AS shape,
+'kg:inNation' AS path, 'value' AS "constraint", 'n:'||c_nationkey::varchar AS value
+FROM customer WHERE c_nationkey % 5 = 0"""
+
+
+XSD_DECIMAL = vocab.XSD + "decimal"
+XSD_STRING = vocab.XSD + "string"
+
+
+def q_v_datatype(spark, sf_dir):
+    cust = _read(spark, sf_dir, "customer")
+    dtype = F.when(F.col("c_custkey") % 3 == 0, F.lit(XSD_STRING)).otherwise(F.lit(XSD_DECIMAL))
+    vals = _lit_rows(cust, _iri("c:", F.col("c_custkey")), "kg:balance", F.col("c_name"), dtype)
+    t = _cust_targets(spark, sf_dir).unionByName(vals)
+    shapes = [NodeShape("sh:CustShape", target_classes=["kg:Customer"],
+                        properties=[PropertyConstraint(path="kg:balance", datatype=XSD_DECIMAL)])]
+    return validate(spark, t, shapes).violations
+
+
+SQL_V_DATATYPE = """SELECT 'c:'||c_custkey::varchar AS focus, 'sh:CustShape' AS shape,
+'kg:balance' AS path, 'value' AS "constraint", c_name AS value
+FROM customer WHERE c_custkey % 3 = 0"""
+
+
+def q_v_nodekind(spark, sf_dir):
+    cust = _read(spark, sf_dir, "customer")
+    lit_half = _lit_rows(
+        cust.filter(F.col("c_custkey") % 2 == 0),
+        _iri("c:", F.col("c_custkey")), "kg:ref", F.col("c_name"), F.lit(XSD_STRING),
+    )
+    iri_half = _rows(
+        cust.filter(F.col("c_custkey") % 2 != 0),
+        _iri("c:", F.col("c_custkey")), "kg:ref", _iri("n:", F.col("c_nationkey")),
+    )
+    t = _cust_targets(spark, sf_dir).unionByName(lit_half).unionByName(iri_half)
+    shapes = [NodeShape("sh:CustShape", target_classes=["kg:Customer"],
+                        properties=[PropertyConstraint(path="kg:ref", node_kind=vocab.SH + "IRI")])]
+    return validate(spark, t, shapes).violations
+
+
+SQL_V_NODEKIND = """SELECT 'c:'||c_custkey::varchar AS focus, 'sh:CustShape' AS shape,
+'kg:ref' AS path, 'value' AS "constraint", c_name AS value
+FROM customer WHERE c_custkey % 2 = 0"""
+
+
+# ---------------------------------------------------------------------------
+# flagship: full merge-then-reason fusion over the shared KG (entry())
+# ---------------------------------------------------------------------------
+
+def q_kg_fuse(spark, sf_dir):
+    """Full fixpoint fusion: rules to closure + TBox closure materialization.
+    No sameAs sources in this graph, so the oracle is the closed-form closure."""
+    res = fuse(spark, rel_triples(spark, sf_dir))
+    return _spo(res.triples)
+
+
+SQL_KG_FUSE = f"""WITH RECURSIVE {REL_TRIPLES_CTE.strip()},
+loc(s,o) AS (SELECT s,o FROM base WHERE p IN ('kg:inNation','kg:inRegion')),
+locc(s,o) AS (SELECT s,o FROM loc UNION SELECT l.s, m.o FROM locc l JOIN loc m ON l.o = m.s),
+nxt(s,o) AS (SELECT s,o FROM base WHERE p = 'kg:next'),
+nxtc(s,o) AS (SELECT s,o FROM nxt UNION SELECT c.s, n.o FROM nxtc c JOIN nxt n ON c.o = n.s),
+all_types(s,o) AS (
+  SELECT s, o FROM base WHERE p = '{TYPE}'
+  UNION SELECT s, 'kg:Order' FROM base WHERE p = 'kg:placedBy'
+  UNION SELECT o, 'kg:Customer' FROM base WHERE p = 'kg:placedBy'
+  UNION SELECT o, 'kg:Nation' FROM base WHERE p = 'kg:inNation'
+  UNION SELECT o, 'kg:Region' FROM base WHERE p = 'kg:inRegion'
+),
+final_types(s,o) AS (
+  SELECT s, o FROM all_types
+  UNION SELECT t.s, m.super FROM all_types t JOIN {_sql_closure_values(SUBCLASS_CLOSURE, "m(cls, super)")} ON t.o = m.cls
+)
+SELECT DISTINCT s, p, o FROM (
+  SELECT s, p, o FROM base
+  UNION ALL SELECT s, '{TYPE}', o FROM final_types
+  UNION ALL SELECT s, 'kg:locatedIn', o FROM locc
+  UNION ALL SELECT s, 'kg:next', o FROM nxtc
+  UNION ALL SELECT o, 'kg:ordered', s FROM base WHERE p = 'kg:placedBy'
+  UNION ALL SELECT o, 'kg:adjacentTo', s FROM base WHERE p = 'kg:adjacentTo'
+  UNION ALL SELECT cls, '{SUBCLASS}', super FROM {_sql_closure_values(SUBCLASS_CLOSURE, "sc(cls, super)")}
+  UNION ALL SELECT pr, '{SUBPROP}', super FROM {_sql_closure_values(SUBPROP_CLOSURE, "sp(pr, super)")}
+) u"""
+
+
+# ---------------------------------------------------------------------------
+# KG front end: extraction / mentions / triple emission over documents
+# ---------------------------------------------------------------------------
+
+def _doc_pages(spark, sf_dir):
+    """documents → Common-Crawl-style pages with deterministic HTML wrapping;
+    extraction must return byte-identical text (the north-rule invariant)."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        F.concat(F.lit("https://d/"), F.col("doc_id").cast("string")).alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.encode(
+            F.concat(F.lit("<html><body><p>"), F.coalesce(F.col("text"), F.lit("")), F.lit("</p></body></html>")),
+            "utf-8",
+        ).alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.coalesce(F.col("lang"), F.lit("en")).alias("lang"),
+    )
+
+
+def q_kg_extract_text(spark, sf_dir):
+    pages = _doc_pages(spark, sf_dir)
+    return extract_text(pages).select("url", "text")
+
+
+SQL_KG_EXTRACT = r"""SELECT 'https://d/'||doc_id::varchar AS url,
+trim(regexp_replace(coalesce(text,''), '\s+', ' ', 'g')) AS text
+FROM documents"""
+
+MENTION_ALIASES: list[tuple[str, str, float]] = [
+    ("spark", "kg:ent/spark", 1.0),
+    ("table", "kg:ent/table", 1.0),
+    ("customer", "kg:ent/customer", 1.0),
+    ("window", "kg:ent/window", 1.0),
+    ("value", "kg:ent/value", 1.0),
+]
+
+
+def q_kg_mentions(spark, sf_dir):
+    pages = extract_text(_doc_pages(spark, sf_dir))
+    m = detect_mentions(pages, MENTION_ALIASES, skip_empty_lang=False)
+    return (
+        mention_pairs(m)
+        .groupBy("url", "alias", "entity")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _sql_mentions_cte() -> str:
+    parts = [
+        f"""SELECT 'https://d/'||doc_id::varchar AS url, '{a}' AS alias, '{e}' AS entity,
+len(regexp_extract_all(lower(trim(regexp_replace(coalesce(text,''), '\\s+', ' ', 'g'))), '\\b{a}\\b'))::BIGINT AS n
+FROM documents"""
+        for a, e, _ in MENTION_ALIASES
+    ]
+    return " UNION ALL ".join(parts)
+
+
+SQL_KG_MENTIONS = f"""WITH m AS ({_sql_mentions_cte()})
+SELECT url, alias, entity, n FROM m WHERE n > 0"""
+
+_KG_NS = "http://kg.example.org/ns#"
+_MENTION_PREFIX = "http://kg.example.org/mention/"
+_PAGE_PREFIX = "http://kg.example.org/page/"
+
+
+def q_kg_emit_triples(spark, sf_dir):
+    pages = extract_text(_doc_pages(spark, sf_dir))
+    m = detect_mentions(pages, MENTION_ALIASES, skip_empty_lang=False)
+    return _spo(emit_triples(m))
+
+
+SQL_KG_EMIT = f"""WITH m0 AS ({_sql_mentions_cte()}),
+m AS (SELECT url, alias, entity FROM m0 WHERE n > 0)
+SELECT DISTINCT s, p, o FROM (
+  SELECT '{_PAGE_PREFIX}'||sha256(url) AS s, '{_KG_NS}mentions' AS p, '{_MENTION_PREFIX}'||alias AS o FROM m
+  UNION ALL SELECT '{_MENTION_PREFIX}'||alias, '{_KG_NS}surface', alias FROM m
+  UNION ALL SELECT '{_MENTION_PREFIX}'||alias, '{SAMEAS}', entity FROM m
+) u"""
+
+
+# ---------------------------------------------------------------------------
+# dedup / text / similarity operators over documents + embeddings
+# ---------------------------------------------------------------------------
+
+def _docs_with_dups(spark, sf_dir):
+    """documents + injected exact dups (+1M ids) and 80%-prefix near-dups
+    (+2M ids) so the dedup operators have deterministic positives."""
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    words = F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+")
+    prefix_len = F.greatest(F.floor(F.size(words) * 0.8).cast("int"), F.lit(1))
+    near = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.array_join(F.slice(words, 1, prefix_len), " ").alias("text"),
+    )
+    return d.unionByName(exact).unionByName(near)
+
+
+SQL_DOCS_CTE = r"""docs(doc_id, text) AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL SELECT doc_id + 2000000,
+    array_to_string(w[1:greatest(floor(len(w)*0.8)::int, 1)], ' ')
+  FROM (SELECT doc_id, string_split_regex(trim(coalesce(text,'')), '\s+') w FROM documents)
+  WHERE doc_id % 7 = 0
+)"""
+
+_SQL_NORM = r"regexp_replace(lower(trim(coalesce(text,''))), '\s+', ' ', 'g')"
+
+
+def q_dedup_exact(spark, sf_dir):
+    return D.exact_dedup(_docs_with_dups(spark, sf_dir))
+
+
+SQL_DEDUP_EXACT = f"""WITH {SQL_DOCS_CTE},
+h AS (SELECT doc_id, md5({_SQL_NORM}) fp FROM docs),
+g AS (SELECT fp, min(doc_id) keep_id, count(*) n FROM h GROUP BY fp)
+SELECT g.keep_id, h.doc_id AS dup_id FROM g JOIN h USING(fp) WHERE g.n > 1 AND h.doc_id != g.keep_id"""
+
+_P31 = D.P31
+_SQL_H31 = "((('0x'||substring(md5(sh),1,15))::BIGINT) % 2147483647)"
+
+# shingle set (n=3 words) per doc, mirroring ops.dedup._shingles
+_SQL_SHINGLES = f"""norm AS (SELECT doc_id, {_SQL_NORM} t FROM docs),
+w AS (SELECT doc_id, string_split(t, ' ') w FROM norm),
+ix AS (SELECT doc_id, w, unnest(generate_series(0, greatest(len(w)-3, 0))) i FROM w),
+sh0 AS (SELECT doc_id, array_to_string(w[i+1:i+3], ' ') sh FROM ix),
+sh AS (SELECT DISTINCT doc_id, sh FROM sh0 WHERE len(sh) > 0),
+hh AS (SELECT doc_id, {_SQL_H31} h FROM sh)"""
+
+
+def _sql_minhash_aggs() -> str:
+    cols = []
+    for i, (a, b) in enumerate(D.MINHASH_PARAMS):
+        cols.append(f"coalesce(min((h*{a} + {b}) % 2147483647), 2147483647) AS mh{i}")
+    return ", ".join(cols)
+
+
+def q_dedup_minhash_signatures(spark, sf_dir):
+    return D.minhash_signatures(_docs_with_dups(spark, sf_dir))
+
+
+SQL_DEDUP_MINHASH = f"""WITH {SQL_DOCS_CTE},
+{_SQL_SHINGLES}
+SELECT d.doc_id, {_sql_minhash_aggs()}
+FROM docs d LEFT JOIN hh ON d.doc_id = hh.doc_id GROUP BY d.doc_id"""
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return D.minhash_lsh_candidates(_docs_with_dups(spark, sf_dir))
+
+
+def _sql_lsh() -> str:
+    bands, rows_per = 4, 2
+    band_joins = []
+    for b in range(bands):
+        cols = [f"mh{b * rows_per + r}" for r in range(rows_per)]
+        cond = " AND ".join(f"a.{c} = b.{c}" for c in cols)
+        band_joins.append(
+            f"SELECT a.doc_id id_a, b.doc_id id_b FROM sig a JOIN sig b ON {cond} AND a.doc_id < b.doc_id"
+        )
+    cands = " UNION ".join(band_joins)
+    match = " + ".join(f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(8))
+    return f"""cands AS ({cands})
+SELECT c.id_a, c.id_b, ({match})::BIGINT AS matching_hashes
+FROM cands c JOIN sig a ON c.id_a = a.doc_id JOIN sig b ON c.id_b = b.doc_id"""
+
+
+SQL_DEDUP_LSH = f"""WITH {SQL_DOCS_CTE},
+{_SQL_SHINGLES},
+sig AS (SELECT d.doc_id, {_sql_minhash_aggs()}
+        FROM docs d LEFT JOIN hh ON d.doc_id = hh.doc_id GROUP BY d.doc_id),
+{_sql_lsh()}"""
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return D.simhash(_docs_with_dups(spark, sf_dir))
+
+
+def _sql_simhash() -> str:
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) % 2 = 1 THEN 1 ELSE -1 END) s{i}" for i in range(32)
+    )
+    sig = " + ".join(f"CASE WHEN s{i} > 0 THEN {2**i}::BIGINT ELSE 0::BIGINT END" for i in range(32))
+    return f"""norm AS (SELECT doc_id, {_SQL_NORM} t FROM docs),
+tok0 AS (SELECT doc_id, unnest(list_distinct(string_split(t, ' '))) w FROM norm),
+tok AS (SELECT doc_id, ('0x'||substring(md5(w),1,15))::BIGINT h FROM tok0 WHERE len(coalesce(w,'')) > 0),
+bits AS (SELECT doc_id, {bit_sums} FROM tok GROUP BY doc_id)
+SELECT doc_id, ({sig}) AS simhash FROM bits"""
+
+
+SQL_DEDUP_SIMHASH = f"WITH {SQL_DOCS_CTE},\n{_sql_simhash()}"
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return D.ngram_jaccard_pairs(_docs_with_dups(spark, sf_dir), threshold=0.6)
+
+
+SQL_DEDUP_JACCARD = f"""WITH {SQL_DOCS_CTE},
+{_SQL_SHINGLES},
+sizes AS (SELECT doc_id, count(*) sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id id_a, b.doc_id id_b, count(*) common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT c.id_a, c.id_b, round(c.common / (sa.sz + sb.sz - c.common), 6) AS jaccard
+FROM common c JOIN sizes sa ON c.id_a = sa.doc_id JOIN sizes sb ON c.id_b = sb.doc_id
+WHERE round(c.common / (sa.sz + sb.sz - c.common), 6) >= 0.6"""
+
+
+def q_sim_topk(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = S.brute_force_topk(emb, queries, k=5)
+    return out.select("q_id", "nn_id", "cosine", F.col("rank").cast("long").alias("rank"))
+
+
+SQL_SIM_TOPK = """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+q AS (SELECT vec_id q_id, v qv FROM e WHERE vec_id < 8),
+s AS (SELECT q_id, e.vec_id nn_id, round(list_cosine_similarity(qv, v), 6) cosine
+      FROM q CROSS JOIN e WHERE e.vec_id != q.q_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, nn_id) rank FROM s)
+SELECT q_id, nn_id, cosine, rank FROM r WHERE rank <= 5"""
+
+
+def q_emb_near_dups(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    return D.embedding_near_dups(emb, threshold=0.42)
+
+
+SQL_EMB_NEAR_DUPS = """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)
+SELECT a.vec_id id_a, b.vec_id id_b, round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.42"""
+
+
+def q_sim_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN (rows-only check: hyperplane constants are impractical
+    to mirror in SQL; correctness vs brute force asserted in tests)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = S.lsh_topk(emb, queries, dim=64, k=5)
+    return out.select("q_id", "nn_id", "cosine", F.col("rank").cast("long").alias("rank"))
+
+
+def q_text_tokens(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    t = TS.tokens(d)
+    return t.select(
+        "doc_id",
+        F.col("ws_tokens").cast("long").alias("ws_tokens"),
+        F.col("bpe_tokens").cast("long").alias("bpe_tokens"),
+        F.col("chars").cast("long").alias("chars"),
+    )
+
+
+SQL_TEXT_TOKENS = r"""SELECT doc_id,
+len(string_split_regex(trim(coalesce(text,'')), '\s+'))::BIGINT AS ws_tokens,
+len(regexp_extract_all(coalesce(text,''), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS bpe_tokens,
+len(coalesce(text,''))::BIGINT AS chars
+FROM documents"""
+
+
+def q_text_quality(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    qd = TS.quality_score(d)
+    return qd.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        "mean_word_len",
+        F.col("n_stopwords").cast("long").alias("n_stopwords"),
+        F.col("n_punct").cast("long").alias("n_punct"),
+        F.col("n_upper").cast("long").alias("n_upper"),
+        "quality",
+    )
+
+
+_SQL_STOP_EN = "','".join(TS.LANG_PROFILES["en"])
+SQL_TEXT_QUALITY = rf"""WITH b AS (
+  SELECT doc_id,
+    string_split_regex(trim(coalesce(text,'')), '\s+') words,
+    len(coalesce(text,''))::BIGINT n_chars,
+    len(regexp_extract_all(coalesce(text,''), '[^\w\s]'))::BIGINT n_punct,
+    len(regexp_extract_all(coalesce(text,''), '[A-Z]'))::BIGINT n_upper
+  FROM documents
+), c AS (
+  SELECT doc_id, n_chars, n_punct, n_upper,
+    len(words)::BIGINT n_words,
+    len(list_filter(words, w -> lower(w) IN ('{_SQL_STOP_EN}')))::BIGINT n_stop
+  FROM b
+)
+SELECT doc_id, n_words,
+  round(CASE WHEN n_words > 0 THEN (n_chars - n_words + 1) / n_words ELSE 0.0 END, 4) AS mean_word_len,
+  n_stop AS n_stopwords, n_punct, n_upper,
+  round(
+    (CASE WHEN n_words >= 10 AND n_words <= 100000 THEN 0.4 ELSE 0.0 END)
+    + (CASE WHEN (n_chars - n_words + 1) / n_words >= 3 AND (n_chars - n_words + 1) / n_words <= 12
+            AND n_words > 0 THEN 0.2
+            WHEN n_words = 0 AND 0.0 >= 3 THEN 0.2 ELSE 0.0 END)
+    + (CASE WHEN n_words > 0 THEN least(0.2, 2.0 * n_stop / n_words) ELSE 0.0 END)
+    + (CASE WHEN n_chars > 0 AND n_punct / n_chars < 0.2 THEN 0.2 ELSE 0.0 END)
+  , 4) AS quality
+FROM c"""
+
+
+def q_text_langid(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    out = TS.lang_id(d)
+    return out.select("doc_id", "pred_lang", F.col("lang_hits").cast("long").alias("lang_hits"))
+
+
+def _sql_langid() -> str:
+    hit_cols = []
+    for lang in sorted(TS.LANG_PROFILES):
+        words = "','".join(TS.LANG_PROFILES[lang])
+        hit_cols.append(f"len(list_filter(words, w -> w IN ('{words}')))::BIGINT h_{lang}")
+    langs = sorted(TS.LANG_PROFILES)
+    best = "greatest(" + ", ".join(f"h_{lg}" for lg in langs) + ")"
+    pred = "CASE " + " ".join(f"WHEN h_{lg} = best THEN '{lg}'" for lg in langs) + " END"
+    return rf"""WITH b AS (
+  SELECT doc_id, string_split_regex(trim(lower(coalesce(text,''))), '\s+') words FROM documents
+), h AS (SELECT doc_id, {', '.join(hit_cols)} FROM b),
+g AS (SELECT doc_id, h_de, h_en, h_es, h_fr, {best} best FROM h)
+SELECT doc_id, {pred} AS pred_lang, best AS lang_hits FROM g"""
+
+
+SQL_TEXT_LANGID = _sql_langid()
+
+
+def q_text_fingerprint(spark, sf_dir):
+    return TS.fingerprint(_read(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_FINGERPRINT = f"""WITH h AS (SELECT doc_id, md5({_SQL_NORM}) m FROM documents)
+SELECT doc_id, m AS fp_md5, ('0x'||substring(m,1,15))::BIGINT AS fp64 FROM h"""
+
+
+# ---------------------------------------------------------------------------
+# relational aggregate (A4-style single-pass groupBy; integer-exact values)
+# ---------------------------------------------------------------------------
+
+def q_rel_q1(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+            (F.sum(F.col("l_quantity").cast("long")) / F.count(F.lit(1))).alias("avg_qty"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_REL_Q1 = """SELECT l_returnflag, l_linestatus,
+sum(l_quantity::BIGINT)::BIGINT AS sum_qty,
+count(*)::BIGINT AS count_order,
+sum(l_quantity::BIGINT) / count(*) AS avg_qty
+FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "kg_fuse": q_kg_fuse,
+    "j1_domain": q_j1_domain,
+    "j2_range": q_j2_range,
+    "j3_subproperty": q_j3_subproperty,
+    "j4_subclass": q_j4_subclass,
+    "j5_inverse": q_j5_inverse,
+    "j6_symmetric": q_j6_symmetric,
+    "j7_transitive": q_j7_transitive,
+    "j9_functional_sameas": q_j9_functional_sameas,
+    "j10_inverse_functional_sameas": q_j10_inverse_functional_sameas,
+    "j13_connected_components": q_j13_connected_components,
+    "chk_disjoint_classes": q_chk_disjoint_classes,
+    "chk_asymmetric": q_chk_asymmetric,
+    "chk_irreflexive": q_chk_irreflexive,
+    "chk_same_different": q_chk_same_different,
+    "v_mincount": q_v_mincount,
+    "v_maxcount": q_v_maxcount,
+    "v_class": q_v_class,
+    "v_datatype": q_v_datatype,
+    "v_nodekind": q_v_nodekind,
+    "kg_extract_text": q_kg_extract_text,
+    "kg_mentions": q_kg_mentions,
+    "kg_emit_triples": q_kg_emit_triples,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_signatures": q_dedup_minhash_signatures,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "sim_topk_bruteforce": q_sim_topk,
+    "sim_lsh_topk": q_sim_lsh_topk,
+    "emb_near_dups": q_emb_near_dups,
+    "text_tokens": q_text_tokens,
+    "text_quality": q_text_quality,
+    "text_langid": q_text_langid,
+    "text_fingerprint": q_text_fingerprint,
+    "rel_q1": q_rel_q1,
+}
+
+ORACLES = {
+    "kg_fuse": SQL_KG_FUSE,
+    "j1_domain": SQL_J1,
+    "j2_range": SQL_J2,
+    "j3_subproperty": SQL_J3,
+    "j4_subclass": SQL_J4,
+    "j5_inverse": SQL_J5,
+    "j6_symmetric": SQL_J6,
+    "j7_transitive": SQL_J7,
+    "j9_functional_sameas": SQL_J9,
+    "j10_inverse_functional_sameas": SQL_J10,
+    "j13_connected_components": SQL_J13,
+    "chk_disjoint_classes": SQL_CHK_DISJOINT,
+    "chk_asymmetric": SQL_CHK_ASYM,
+    "chk_irreflexive": SQL_CHK_IRREFLEXIVE,
+    "chk_same_different": SQL_CHK_SAMEDIFF,
+    "v_mincount": SQL_V_MINCOUNT,
+    "v_maxcount": SQL_V_MAXCOUNT,
+    "v_class": SQL_V_CLASS,
+    "v_datatype": SQL_V_DATATYPE,
+    "v_nodekind": SQL_V_NODEKIND,
+    "kg_extract_text": SQL_KG_EXTRACT,
+    "kg_mentions": SQL_KG_MENTIONS,
+    "kg_emit_triples": SQL_KG_EMIT,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_minhash_signatures": SQL_DEDUP_MINHASH,
+    "dedup_minhash_lsh": SQL_DEDUP_LSH,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
+    "sim_topk_bruteforce": SQL_SIM_TOPK,
+    "emb_near_dups": SQL_EMB_NEAR_DUPS,
+    "text_tokens": SQL_TEXT_TOKENS,
+    "text_quality": SQL_TEXT_QUALITY,
+    "text_langid": SQL_TEXT_LANGID,
+    "text_fingerprint": SQL_TEXT_FINGERPRINT,
+    "rel_q1": SQL_REL_Q1,
+    # sim_lsh_topk: rows-only (hyperplane constants impractical in SQL)
+}

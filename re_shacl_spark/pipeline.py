@@ -34,6 +34,7 @@ from re_shacl_spark.model.triples import dedup_triples, vocab
 from re_shacl_spark.reasoning.checks import run_all_checks
 from re_shacl_spark.reasoning.rules import RuleEngine, Scope
 from re_shacl_spark.reasoning.tbox import TBoxIndex, build_tbox_index, extract_tbox
+from re_shacl_spark.session import ensure_fixpoint_confs
 
 MAX_ROUNDS = 25  # reference caps at 25_000 (closure_engine.py:39) — log-round CC
 #                  plus closed TBox maps converge in a handful of rounds.
@@ -80,6 +81,7 @@ def fuse(
     provenance triples (rep, owl:sameAs, member) are re-emitted like the
     reference does at re_shacl.py:734-737.
     """
+    ensure_fixpoint_confs(spark)
     tbox = build_tbox_index(extract_tbox(triples))
     engine = RuleEngine(spark, tbox, scope or Scope.unrestricted())
 

@@ -182,6 +182,9 @@ class RuleEngine:
         props = [p for p in self.tbox.transitive if self._keep_prop(p)]
         if not props:
             return triples.limit(0)
+        from re_shacl_spark.session import ensure_fixpoint_confs
+
+        ensure_fixpoint_confs(self.spark)
         e = (
             triples.filter(F.col("p").isin(props) & ~F.col("is_lit"))
             .select("s", "p", "o")

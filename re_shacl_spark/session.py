@@ -50,3 +50,13 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
+
+
+def ensure_fixpoint_confs(spark: SparkSession) -> None:
+    """Make iterative (union + localCheckpoint) plans safe on ANY session, not
+    just ones built by get_spark: Spark 4.1's Union constraint rewrite throws
+    "key not found: <attr>" on self-referencing unions (delta frames unioned
+    back into their source).  Constraint propagation buys nothing for
+    checkpoint-truncated iterative plans; runtime-settable, so set it here
+    defensively for callers whose session we don't control (the driver's)."""
+    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
