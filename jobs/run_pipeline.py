@@ -1,0 +1,61 @@
+"""spark-submit entry for the full KG-construction DAG (north_rule).
+
+  spark-submit --master local[32] --py-files re_shacl_spark.zip \
+      jobs/run_pipeline.py --pages 100000 --checkpoint /tmp/kg_ckpt
+
+Also runnable as plain `python jobs/run_pipeline.py` (builds its own session
+from SPARK_GRAFT_CPUS).  Prints ONE JSON metrics line; with --checkpoint, a
+second run resumes from the last complete stage (delete the dir to rerun).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", type=int, default=100_000)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--cpus", type=int, default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    if "PYSPARK_GATEWAY_PORT" in os.environ:
+        # launched via spark-submit (the gateway JVM already exists):
+        # --master/--conf own the session config, don't override them
+        spark = SparkSession.builder.getOrCreate()
+    else:
+        from re_shacl_spark.session import get_spark
+
+        cpus = args.cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        spark = get_spark("kg_construct", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from re_shacl_spark import corpus
+    from re_shacl_spark.checkpoint import CheckpointStore
+    from re_shacl_spark.job import construct_kg
+
+    pages = corpus.generate_pages(spark, args.pages, seed=args.seed)
+    store = CheckpointStore(spark, args.checkpoint) if args.checkpoint else None
+    res = construct_kg(spark, pages, corpus.alias_rows(), store=store)
+
+    out = {
+        "pages": args.pages,
+        "parallelism": spark.sparkContext.defaultParallelism,
+        **res.metrics,
+    }
+    if store is not None:
+        out["lineage_rows"] = store.lineage().count()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

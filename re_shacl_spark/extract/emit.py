@@ -43,6 +43,10 @@ def emit_triples(
         F.col("mn.entity").alias("entity"),
     )
     m = m.withColumn("mention_iri", _mention_iri(F.col("alias"), F.col("entity")))
+    # the four output branches below each re-scan m; materialize it once
+    # (small: one row per detected mention) instead of recomputing the
+    # explode+projection per branch
+    m = m.localCheckpoint(eager=True)
     page_iri = F.concat(F.lit("http://kg.example.org/page/"), F.sha2(F.col("url"), 256))
 
     null_lit = F.lit(None).cast("struct<lex:string,dtype:string,lang:string>")

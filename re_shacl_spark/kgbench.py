@@ -472,7 +472,7 @@ FROM customer WHERE c_custkey % 2 = 0"""
 def q_kg_fuse(spark, sf_dir):
     """Full fixpoint fusion: rules to closure + TBox closure materialization.
     No sameAs sources in this graph, so the oracle is the closed-form closure."""
-    res = fuse(spark, rel_triples(spark, sf_dir))
+    res = fuse(spark, rel_triples(spark, sf_dir), assume_distinct=True)
     return _spo(res.triples)
 
 

@@ -74,6 +74,7 @@ def fuse(
     run_checks: bool = True,
     max_rounds: int = MAX_ROUNDS,
     cc_salts: int = 8,
+    assume_distinct: bool = False,
 ) -> FusionResult:
     """Scoped reasoning + sameAs canonicalization to fixpoint.
 
@@ -105,35 +106,66 @@ def fuse(
             F.lit(False).alias("is_lit"),
             F.lit(None).cast("string").alias("src_url"),
         )
+        if assume_distinct:
+            # closure rows are TBox-sized: anti-join them against the (already
+            # distinct) input instead of re-shuffling the whole graph
+            closure_df = closure_df.join(cur, ["s", "p", "o"], "left_anti")
         cur = cur.unionByName(closure_df)
-    cur = dedup_triples(cur).localCheckpoint(eager=True)
+    if not assume_distinct:
+        # unknown provenance: one global dedup, materialized once
+        cur = dedup_triples(cur).localCheckpoint(eager=True)
+    # assume_distinct: leave cur as parquet-backed union — re-materializing the
+    # whole input here would double the I/O for nothing
 
+    # Semi-naive fixpoint.  Single-atom rules (J1-J6) commute with the
+    # representative rewrite σ (rule(σ(G)) = σ(rule(G))), so once the graph is
+    # closed under them it stays closed across merges — rounds > 1 feed them
+    # only the previous round's delta.  The two-atom rules (transitive J7,
+    # functional/inverse-functional J9/J10) do NOT commute with merging —
+    # merges can join chains / equate join keys — so they re-run gated on
+    # "a merge happened last round" (or new edges arrived).
     rep_map: DataFrame | None = None
     rounds = 0
+    delta = cur
+    merged_last = False
+    trans_props = sorted(tbox.transitive)
     for rounds in range(1, max_rounds + 1):
         progressed = False
 
-        # (1-2) rule derivation, semi-naive gate
-        derived = engine.derive_all(cur).dropDuplicates(["s", "p", "o"])
+        derived = engine.derive_linear(delta)
+        if trans_props and (
+            rounds == 1
+            or merged_last
+            or not delta.filter(F.col("p").isin(trans_props)).isEmpty()
+        ):
+            derived = derived.unionByName(engine.rule_transitive(cur))
+        derived = derived.dropDuplicates(["s", "p", "o"])
         new = derived.join(cur, ["s", "p", "o"], "left_anti").localCheckpoint(eager=True)
-        if not new.isEmpty():
+        has_new = not new.isEmpty()
+        if has_new:
             progressed = True
-            cur = cur.unionByName(new).localCheckpoint(eager=True)
+            # both children are materialized — a plain union keeps lineage O(1)
+            # per round without re-writing the whole graph each round
+            cur = cur.unionByName(new)
 
-        # (3-5) sameAs closure + canonical rewrite
-        edges = engine.derive_sameas(cur)
-        # only edges that merge two *distinct current* ids do work
-        if not edges.isEmpty():
-            new_reps = connected_components(edges, n_salts=cc_salts)
-            if not new_reps.isEmpty():
-                cur = canonicalize_triples(cur, new_reps).localCheckpoint(eager=True)
-                rep_map = _compose_rep_maps(rep_map, new_reps.localCheckpoint(eager=True))
-                rep_map = rep_map.localCheckpoint(eager=True)
-                progressed = True
-                # sameAs triples are now self-loops (dropped in rewrite); keep
-                # the closure out of next round's edge derivation
+        # sameAs closure + canonical rewrite: needed on round 1, after new
+        # facts, or after a merge (merging can enable J9/J10 anew)
+        need_sameas = rounds == 1 or has_new or merged_last
+        merged_last = False
+        if need_sameas:
+            edges = engine.derive_sameas(cur)
+            if not edges.isEmpty():
+                new_reps = connected_components(edges, n_salts=cc_salts)
+                if not new_reps.isEmpty():
+                    cur = canonicalize_triples(cur, new_reps).localCheckpoint(eager=True)
+                    new = canonicalize_triples(new, new_reps) if has_new else new
+                    rep_map = _compose_rep_maps(rep_map, new_reps.localCheckpoint(eager=True))
+                    rep_map = rep_map.localCheckpoint(eager=True)
+                    progressed = True
+                    merged_last = True
         if not progressed:
             break
+        delta = new
 
     if rep_map is None:
         rep_map = spark.createDataFrame([], "member string, rep string")
@@ -147,7 +179,13 @@ def fuse(
             F.lit(False).alias("is_lit"),
             F.lit(None).cast("string").alias("src_url"),
         )
-        cur = dedup_triples(cur.unionByName(prov)).localCheckpoint(eager=True)
+        # canonicalization turned every merged sameAs row into a dropped
+        # self-loop, so only the (small) sameAs slice can collide with the
+        # provenance rows — dedup that slice, not the whole graph
+        sameas_slice = cur.filter(F.col("p") == vocab.SAMEAS)
+        rest = cur.filter(F.col("p") != vocab.SAMEAS)
+        merged = dedup_triples(sameas_slice.unionByName(prov))
+        cur = rest.unionByName(merged)
 
     counts = run_all_checks(cur, tbox) if run_checks else {}
     return FusionResult(triples=cur, rep_map=rep_map, tbox=tbox, rounds=rounds, check_counts=counts)

@@ -58,6 +58,10 @@ def check_disjoint_classes(triples: DataFrame, tbox: TBoxIndex) -> DataFrame:
     """(x type c1) ∧ (x type c2) with c1 owl:disjointWith c2 (or complementOf)."""
     spark = triples.sparkSession
     pairs = tbox.disjoint_classes | tbox.complement
+    if not pairs:
+        # short-circuit: without axioms the TYPES self-join below would still
+        # shuffle the whole graph before the empty broadcast kills it
+        return spark.createDataFrame([], "inst string, c1 string, c2 string")
     m = F.broadcast(_pairs(spark, pairs, "c1", "c2"))
     types = triples.filter(F.col("p") == vocab.TYPE).select(
         F.col("s").alias("inst"), F.col("o").alias("cls")
@@ -73,6 +77,8 @@ def check_disjoint_classes(triples: DataFrame, tbox: TBoxIndex) -> DataFrame:
 def check_disjoint_properties(triples: DataFrame, tbox: TBoxIndex) -> DataFrame:
     """(x p1 y) ∧ (x p2 y) with p1 propertyDisjointWith p2."""
     spark = triples.sparkSession
+    if not tbox.disjoint_props:
+        return spark.createDataFrame([], "s string, p1 string, p2 string, o string")
     m = F.broadcast(_pairs(spark, tbox.disjoint_props, "p1", "p2"))
     t = triples.select("s", "p", "o")
     return (
@@ -104,7 +110,14 @@ def run_all_checks(triples: DataFrame, tbox: TBoxIndex, raise_on_violation: bool
         "disjoint_properties": check_disjoint_properties(triples, tbox),
         "same_different": check_same_different(triples),
     }
-    counts = {k: v.count() for k, v in frames.items()}
+    # ONE action for all five checks: tag each frame and count by tag (five
+    # separate .count() jobs would each pay a full scheduling round-trip)
+    tagged = None
+    for k, v in frames.items():
+        part = v.select(F.lit(k).alias("_check"))
+        tagged = part if tagged is None else tagged.unionByName(part)
+    got = {r["_check"]: r["n"] for r in tagged.groupBy("_check").agg(F.count(F.lit(1)).alias("n")).collect()}
+    counts = {k: int(got.get(k, 0)) for k in frames}
     if raise_on_violation:
         bad = {k: n for k, n in counts.items() if n}
         if bad:

@@ -255,8 +255,12 @@ class RuleEngine:
             .distinct()
         )
 
-    def derive_all(self, triples: DataFrame) -> DataFrame:
-        """One reasoning pass: union of all non-sameAs rule outputs."""
+    def derive_linear(self, triples: DataFrame) -> DataFrame:
+        """Union of the SINGLE-ATOM rules (J1-J6).  These commute with
+        representative rewriting (rule(σ(G)) = σ(rule(G))), so a semi-naive
+        fixpoint may feed them only the per-round delta — the reference's
+        incremental idea (src/core/merging/class_merging.py:134-142),
+        generalized to every linear rule."""
         parts = [
             self.rule_domain(triples),
             self.rule_range(triples),
@@ -264,12 +268,15 @@ class RuleEngine:
             self.rule_subclass(triples),
             self.rule_inverse(triples),
             self.rule_symmetric(triples),
-            self.rule_transitive(triples),
         ]
         out = parts[0]
         for x in parts[1:]:
             out = out.unionByName(x)
         return out
+
+    def derive_all(self, triples: DataFrame) -> DataFrame:
+        """One full reasoning pass: linear rules + transitive closure."""
+        return self.derive_linear(triples).unionByName(self.rule_transitive(triples))
 
     def derive_sameas(self, triples: DataFrame) -> DataFrame:
         return (

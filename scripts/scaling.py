@@ -1,0 +1,88 @@
+"""Scaling-efficiency evidence (north_rule: ≥0.8 from N to 4N executors).
+
+No real cluster exists in this sandbox, so the same job runs at two local
+parallelism levels — local[8] (N) and local[32] (4N) — on the SAME input via
+``spark-submit --py-files`` (separate JVMs, fresh sessions), and we report
+throughput at both plus efficiency = (tput_4N / tput_N) / 4.
+
+Usage: python scripts/scaling.py [--pages 100000] [--out BENCH_SCALING.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def make_pyfiles_zip() -> str:
+    dst = "/tmp/re_shacl_spark.zip"
+    with zipfile.ZipFile(dst, "w") as z:
+        pkg = os.path.join(REPO, "re_shacl_spark")
+        for root, _, files in os.walk(pkg):
+            for fn in files:
+                if fn.endswith(".py"):
+                    p = os.path.join(root, fn)
+                    z.write(p, os.path.relpath(p, REPO))
+    return dst
+
+
+def run_at(cores: int, pages: int, pyfiles: str) -> dict:
+    ckpt = f"/tmp/kg_scaling_{cores}"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    spark_submit = shutil.which("spark-submit") or os.path.join(
+        os.path.dirname(shutil.which("pyspark") or sys.executable), "spark-submit"
+    )
+    cmd = [
+        spark_submit,
+        "--master", f"local[{cores}]",
+        "--conf", f"spark.sql.shuffle.partitions={cores}",
+        "--conf", "spark.sql.constraintPropagation.enabled=false",
+        "--conf", "spark.sql.adaptive.enabled=true",
+        "--conf", "spark.driver.memory=16g",
+        "--py-files", pyfiles,
+        os.path.join(REPO, "jobs", "run_pipeline.py"),
+        "--pages", str(pages),
+        "--checkpoint", ckpt,
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")]
+    if not line:
+        raise RuntimeError(f"no JSON from spark-submit ({cores} cores):\n{out.stderr[-3000:]}")
+    return json.loads(line[-1])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", type=int, default=100_000)
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH_SCALING.json"))
+    args = ap.parse_args()
+
+    pyfiles = make_pyfiles_zip()
+    r8 = run_at(8, args.pages, pyfiles)
+    r32 = run_at(32, args.pages, pyfiles)
+    eff = (r32["triples_per_sec"] / r8["triples_per_sec"]) / 4.0
+    result = {
+        "pages": args.pages,
+        "N_cores": 8,
+        "4N_cores": 32,
+        "throughput_N": r8["triples_per_sec"],
+        "throughput_4N": r32["triples_per_sec"],
+        "wall_N_sec": r8["wall_sec"],
+        "wall_4N_sec": r32["wall_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "detail": {"N": r8, "4N": r32},
+    }
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

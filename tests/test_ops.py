@@ -1,0 +1,127 @@
+"""Dedup / similarity / text-stats operators against tiny hand-computed oracles."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from re_shacl_spark.ops import dedup as D
+from re_shacl_spark.ops import similarity as S
+from re_shacl_spark.ops import textstats as TS
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+
+
+def test_exact_dedup_groups(spark):
+    d = _docs(spark, ["a b c", "a  b   c", "x y", "different one", "A B C"])
+    got = {(r.keep_id, r.dup_id) for r in D.exact_dedup(d).collect()}
+    # whitespace- and case-normalized: docs 0,1,4 collapse onto min id 0
+    assert got == {(0, 1), (0, 4)}
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    d = _docs(spark, [base, base + " extra", "totally unrelated text about spark sql engines", base])
+    pairs = {(r.id_a, r.id_b): r.matching_hashes for r in D.minhash_lsh_candidates(d).collect()}
+    assert (0, 3) in pairs and pairs[(0, 3)] == 8  # identical docs agree on all hashes
+    assert all(not ((a, b) == (0, 2) or (a, b) == (2, 3)) for a, b in pairs)
+
+
+def test_simhash_hamming(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    d = _docs(spark, [base, base, "qq ww ee rr tt yy uu ii"])
+    sigs = {r.doc_id: r.simhash for r in D.simhash(d).collect()}
+    assert sigs[0] == sigs[1]
+    dups = {(r.id_a, r.id_b) for r in D.simhash_near_dups(d, max_hamming=3).collect()}
+    assert (0, 1) in dups and (0, 2) not in dups
+
+
+def test_ngram_jaccard_exact_value(spark):
+    # doc0: shingles {a b c, b c d}; doc1: {a b c}; J = 1/2
+    d = _docs(spark, ["a b c d", "a b c"])
+    got = {(r.id_a, r.id_b): r.jaccard for r in D.ngram_jaccard_pairs(d, threshold=0.4).collect()}
+    assert got == {(0, 1): 0.5}
+
+
+def test_ngram_jaccard_max_df_prunes(spark):
+    d = _docs(spark, ["s t o p" for _ in range(5)] + ["u v w x"])
+    # every shingle of the first five appears in 5 docs; cap at 2 removes them
+    got = D.ngram_jaccard_pairs(d, threshold=0.1, max_df=2).collect()
+    assert got == []
+
+
+def test_embedding_near_dups_cosine(spark):
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [2.0, 0.0]),        # cosine 1.0 with 0
+        (2, [1.0, 1.0]),        # cosine √2/2 ≈ .7071 with 0
+        (3, [-1.0, 0.0]),       # cosine -1 with 0
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {(r.id_a, r.id_b): r.cosine for r in D.embedding_near_dups(emb, threshold=0.9).collect()}
+    assert got == {(0, 1): 1.0}
+    got2 = {(r.id_a, r.id_b) for r in D.embedding_near_dups(emb, threshold=0.7).collect()}
+    assert got2 == {(0, 1), (0, 2), (1, 2)}
+
+
+def test_brute_force_topk_ordering(spark):
+    rows = [(i, [math.cos(i / 10.0), math.sin(i / 10.0)]) for i in range(20)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    got = S.brute_force_topk(emb, q, k=3).orderBy("rank").collect()
+    # nearest angles to 0 are 1, 2, 3 in that order
+    assert [r.nn_id for r in got] == [1, 2, 3]
+    assert got[0].cosine > got[1].cosine > got[2].cosine
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark):
+    import random
+
+    rnd = random.Random(3)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(200)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = S.brute_force_topk(emb, q, k=5)
+    approx = S.lsh_topk(emb, q, dim=16, k=5, n_tables=8, n_bits=4)
+    e = {(r.q_id, r.nn_id) for r in exact.collect()}
+    a = {(r.q_id, r.nn_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.4  # bucketed ANN: partial recall by design, never zero
+
+
+def test_tokens_and_quality(spark):
+    d = _docs(spark, ["Hello, world! The answer is 42."])
+    t = TS.tokens(d).collect()[0]
+    assert t.ws_tokens == 6
+    # Hello , world ! The answer is 42 .
+    assert t.bpe_tokens == 9
+    q = TS.quality_score(d).collect()[0]
+    assert q.n_words == 6 and q.n_stopwords == 2 and q.n_punct == 3
+    assert 0.0 <= q.quality <= 1.0
+
+
+def test_lang_id(spark):
+    d = spark.createDataFrame(
+        [
+            (0, "the cat and the dog is in a house"),
+            (1, "der hund und die katze ist ein tier zu hause"),
+            (2, "el perro y la casa que es un gato en madrid"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.pred_lang for r in TS.lang_id(d).collect()}
+    assert got == {0: "en", 1: "de", 2: "es"}
+
+
+def test_fingerprint_normalization(spark):
+    d = _docs(spark, ["A  B\tC", "a b c"])
+    got = TS.fingerprint(d).collect()
+    assert got[0].fp_md5 == got[1].fp_md5
+    assert got[0].fp64 == got[1].fp64

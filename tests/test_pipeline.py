@@ -133,19 +133,40 @@ def test_sameas_merges_through_equivalent_classes(spark):
     assert ("http://x.org/n1", vocab.TYPE, "http://x.org/A") in triples
 
 
+_DET_SNIPPET = """
+import sys, hashlib
+sys.path.insert(0, {repo!r})
+from re_shacl_spark.session import get_spark
+from re_shacl_spark.model.triples import triples_df
+from re_shacl_spark.model.ttl import parse_ttl_file
+from re_shacl_spark.pipeline import fuse
+n = int(sys.argv[1])
+s = get_spark(f"det-{{n}}", master=f"local[{{n}}]", shuffle_partitions=n)
+s.sparkContext.setLogLevel("ERROR")
+res = fuse(s, triples_df(s, parse_ttl_file({ttl!r})))
+rows = sorted((r.s, r.p, r.o, r.is_lit) for r in res.triples.collect())
+print("DIGEST", hashlib.sha256(repr(rows).encode()).hexdigest())
+"""
+
+
 def test_determinism_two_parallelism_levels():
     """Same input at local[2] and local[8] → byte-identical canonical output.
     Stronger than the reference, whose representative choice is iteration-order
-    dependent (SURVEY §2.6)."""
-    from re_shacl_spark.session import get_spark
+    dependent (SURVEY §2.6).  Each level runs in its own subprocess: stopping a
+    SparkSession in-process would kill the shared JVM context for the whole
+    pytest session."""
+    import os
+    import subprocess
+    import sys
 
-    rows = parse_ttl_file(TEST_TTL)
-    outs = []
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = _DET_SNIPPET.format(repo=repo, ttl=TEST_TTL)
+    digests = []
     for n in (2, 8):
-        s = get_spark(f"det-{n}", master=f"local[{n}]", shuffle_partitions=n)
-        try:
-            res = fuse(s, triples_df(s, rows))
-            outs.append(sorted((r.s, r.p, r.o, r.is_lit) for r in res.triples.collect()))
-        finally:
-            s.stop()
-    assert outs[0] == outs[1]
+        out = subprocess.run(
+            [sys.executable, "-c", code, str(n)], capture_output=True, text=True, timeout=600
+        )
+        lines = [ln for ln in out.stdout.splitlines() if ln.startswith("DIGEST ")]
+        assert lines, f"no digest at local[{n}]: {out.stderr[-2000:]}"
+        digests.append(lines[-1])
+    assert digests[0] == digests[1]
