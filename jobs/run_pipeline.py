@@ -22,6 +22,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", type=int, default=100_000)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--body-repeat", type=int, default=1)
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args()
@@ -43,12 +44,13 @@ def main() -> None:
     from re_shacl_spark.checkpoint import CheckpointStore
     from re_shacl_spark.job import construct_kg
 
-    pages = corpus.generate_pages(spark, args.pages, seed=args.seed)
+    pages = corpus.generate_pages(spark, args.pages, seed=args.seed, body_repeat=args.body_repeat)
     store = CheckpointStore(spark, args.checkpoint) if args.checkpoint else None
     res = construct_kg(spark, pages, corpus.alias_rows(), store=store)
 
     out = {
         "pages": args.pages,
+        "body_repeat": args.body_repeat,
         "parallelism": spark.sparkContext.defaultParallelism,
         **res.metrics,
     }

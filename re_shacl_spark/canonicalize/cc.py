@@ -79,20 +79,49 @@ def _small_star(edges: DataFrame, n_salts: int) -> DataFrame:
     return moved.union(root_edges).distinct()
 
 
+def _driver_union_find(rows: list) -> list[tuple[str, str]]:
+    """Min-rep union-find on the driver; same output contract as the
+    distributed path (one (member, rep) row per non-representative)."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        p = parent.setdefault(x, x)
+        if p != x:
+            parent[x] = p = find(p)
+        return p
+
+    for u, v in rows:
+        ru, rv = find(u), find(v)
+        if ru == rv:
+            continue
+        lo, hi = (ru, rv) if ru < rv else (rv, ru)
+        parent[hi] = lo
+    return sorted((x, find(x)) for x in parent if find(x) != x)
+
+
 def connected_components(
     edges: DataFrame,
     n_salts: int = 8,
     max_rounds: int = MAX_ROUNDS,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """edges: DataFrame with two string columns (any names) = undirected pairs.
 
     Returns rep_map DataFrame[member string, rep string] with rep = component
     min, one row per non-representative member (identity rows omitted —
     consumers rewrite via left-join + coalesce).
+
+    Edge sets at or below ``driver_threshold`` (after dedup) run a driver-side
+    union-find instead of the iterative star rounds: entity-resolution edge
+    lists are often tiny relative to the corpus (alias-level sameAs links),
+    and each distributed star round costs two shuffles + a convergence probe
+    regardless of size.  Above the threshold, the O(log n)-round salted
+    large-star/small-star path takes over (the 100 TB path).
     """
     from re_shacl_spark.session import ensure_fixpoint_confs
 
-    ensure_fixpoint_confs(edges.sparkSession)
+    spark = edges.sparkSession
+    ensure_fixpoint_confs(spark)
     a, b = edges.columns[:2]
     e = (
         edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
@@ -100,8 +129,12 @@ def connected_components(
         .distinct()
     )
     e = e.localCheckpoint(eager=True)
-    if e.isEmpty():
-        return e.select(F.col("u").alias("member"), F.col("v").alias("rep"))
+
+    if driver_threshold > 0:
+        head = e.limit(driver_threshold + 1).collect()
+        if len(head) <= driver_threshold:
+            pairs = _driver_union_find([(r.u, r.v) for r in head])
+            return spark.createDataFrame(pairs or [], "member string, rep string")
 
     prev = None
     for _ in range(max_rounds):

@@ -88,15 +88,19 @@ def _mentions_for(i: int) -> list[str]:
     return picks
 
 
-def _html_for(i: int, seed: int) -> bytes | None:
+def _html_for(i: int, seed: int, body_repeat: int = 1) -> bytes | None:
     if i % 97 == 95:
         return None  # null html row
     if i % 97 == 96:
         return b""  # empty html row
     mentions = _mentions_for(i)
+    # body_repeat scales page size toward realistic Common-Crawl pages (tens of
+    # KB) without changing the emitted triple set: repeated paragraphs repeat
+    # the same aliases, and the emitter dedups (s,p,o)
     body = " ".join(
-        f'<p>Report {i}-{k} about <a href="#m">{m}</a> filed under section {(i * 31 + k) % 12}.</p>'
-        for k, m in enumerate(mentions)
+        f'<p>Report {i}-{k} about <a href="#m">{mentions[k % len(mentions)]}</a>'
+        f" filed under section {(i * 31 + k) % 12}.</p>"
+        for k in range(len(mentions) * body_repeat)
     )
     if i % 53 == 7:
         # malformed: unclosed tags, stray brackets (extractor robustness case)
@@ -108,7 +112,9 @@ def _html_for(i: int, seed: int) -> bytes | None:
     ).encode()
 
 
-def generate_pages(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+def generate_pages(
+    spark: SparkSession, n: int, seed: int = 42, body_repeat: int = 1
+) -> DataFrame:
     """Distributed deterministic generation: one pandas batch per partition."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -118,7 +124,7 @@ def generate_pages(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
                 {
                     "url": [f"https://ex{seed}.org/page/{i}" for i in idx],
                     "warc_ts": [EPOCH + datetime.timedelta(seconds=3600 * int(i)) for i in idx],
-                    "html": [_html_for(int(i), seed) for i in idx],
+                    "html": [_html_for(int(i), seed, body_repeat) for i in idx],
                     "text": pd.Series([None] * len(idx), dtype="object"),
                     "lang": [LANGS[int(i) % len(LANGS)] for i in idx],
                 }

@@ -37,7 +37,17 @@ def emit_triples(
     pages_with_mentions: DataFrame,
     entity_classes: dict[str, str] | None = None,
 ) -> DataFrame:
-    m = pages_with_mentions.select("url", F.explode("mentions").alias("mn")).select(
+    # distinct (alias, entity) per page BEFORE exploding: a page mentioning one
+    # entity 100 times contributes 100 array elements but only one triple set,
+    # and array_distinct runs inside codegen — map-side reduction ahead of any
+    # shuffle (the emitted triples are deduped again globally below)
+    pairs = F.array_distinct(
+        F.transform(
+            "mentions",
+            lambda x: F.struct(x["alias"].alias("alias"), x["entity"].alias("entity")),
+        )
+    )
+    m = pages_with_mentions.select("url", F.explode(pairs).alias("mn")).select(
         F.col("url"),
         F.col("mn.alias").alias("alias"),
         F.col("mn.entity").alias("entity"),

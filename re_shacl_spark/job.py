@@ -97,8 +97,11 @@ def construct_kg(
         stage_sec[stage] = round(time.time() - t, 2)
         return out
 
-    s1 = run("s1_text", lambda: extract_text(pages))
-    s2 = run("s2_mentions", lambda: detect_mentions(s1, alias_rows))
+    # drop the raw bytes once text is extracted: at corpus scale the html
+    # column dominates checkpoint I/O and is never read downstream (url is the
+    # lineage key back to the source table)
+    s1 = run("s1_text", lambda: extract_text(pages).drop("html"))
+    s2 = run("s2_mentions", lambda: detect_mentions(s1, alias_rows).drop("text"))
 
     def build_triples():
         t = emit_triples(s2, entity_classes)

@@ -69,7 +69,16 @@ class RuleEngine:
 
     # -- broadcast map frames ---------------------------------------------------
     def _map(self, pairs: list[tuple[str, str]], a: str, b: str) -> DataFrame:
-        return F.broadcast(_pairs_df(self.spark, pairs, a, b))
+        """Broadcast TBox-map frame, cached per (contents, colnames): the same
+        maps are re-joined every fixpoint round."""
+        if not hasattr(self, "_map_cache"):
+            self._map_cache: dict = {}
+        key = (tuple(pairs), a, b)
+        hit = self._map_cache.get(key)
+        if hit is None:
+            hit = F.broadcast(_pairs_df(self.spark, pairs, a, b))
+            self._map_cache[key] = hit
+        return hit
 
     # -- rules: each returns newly derivable triples (may overlap existing) -----
     def rule_domain(self, triples: DataFrame) -> DataFrame:

@@ -33,7 +33,7 @@ def make_pyfiles_zip() -> str:
     return dst
 
 
-def run_at(cores: int, pages: int, pyfiles: str) -> dict:
+def run_at(cores: int, pages: int, pyfiles: str, body_repeat: int) -> dict:
     ckpt = f"/tmp/kg_scaling_{cores}"
     shutil.rmtree(ckpt, ignore_errors=True)
     spark_submit = shutil.which("spark-submit") or os.path.join(
@@ -49,6 +49,7 @@ def run_at(cores: int, pages: int, pyfiles: str) -> dict:
         "--py-files", pyfiles,
         os.path.join(REPO, "jobs", "run_pipeline.py"),
         "--pages", str(pages),
+        "--body-repeat", str(body_repeat),
         "--checkpoint", ckpt,
     ]
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
@@ -61,17 +62,21 @@ def run_at(cores: int, pages: int, pyfiles: str) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", type=int, default=100_000)
+    ap.add_argument("--body-repeat", type=int, default=40)
+    ap.add_argument("--n-cores", type=int, default=2)
+    ap.add_argument("--xn-cores", type=int, default=8)
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_SCALING.json"))
     args = ap.parse_args()
 
     pyfiles = make_pyfiles_zip()
-    r8 = run_at(8, args.pages, pyfiles)
-    r32 = run_at(32, args.pages, pyfiles)
+    r8 = run_at(args.n_cores, args.pages, pyfiles, args.body_repeat)
+    r32 = run_at(args.xn_cores, args.pages, pyfiles, args.body_repeat)
     eff = (r32["triples_per_sec"] / r8["triples_per_sec"]) / 4.0
     result = {
         "pages": args.pages,
-        "N_cores": 8,
-        "4N_cores": 32,
+        "N_cores": args.n_cores,
+        "4N_cores": args.xn_cores,
+        "body_repeat": args.body_repeat,
         "throughput_N": r8["triples_per_sec"],
         "throughput_4N": r32["triples_per_sec"],
         "wall_N_sec": r8["wall_sec"],

@@ -6,8 +6,13 @@ from re_shacl_spark.canonicalize.cc import connected_components
 
 
 def _reps(spark, edges, **kw):
+    """Run BOTH the distributed star path (driver_threshold=0) and the
+    driver union-find fast path; they must agree on every fixture."""
     df = spark.createDataFrame(edges, ["a", "b"])
-    return {r.member: r.rep for r in connected_components(df, **kw).collect()}
+    star = {r.member: r.rep for r in connected_components(df, driver_threshold=0, **kw).collect()}
+    drv = {r.member: r.rep for r in connected_components(df, **kw).collect()}
+    assert star == drv, f"star≠driver: {star} vs {drv}"
+    return star
 
 
 def test_chain_of_five(spark):
