@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from re_shacl_spark.canonicalize.cc import connected_components
+from re_shacl_spark.canonicalize.rewrite import apply_static_map
 from re_shacl_spark.extract.html import extract_text
 from re_shacl_spark.extract.mentions import detect_mentions, mention_pairs
 from re_shacl_spark.extract.emit import emit_triples
@@ -302,6 +303,136 @@ und(a,b) AS (SELECT a,b FROM e WHERE a != b UNION SELECT b,a FROM e WHERE a != b
 reach(n,m) AS (SELECT a,b FROM und UNION SELECT r.n, u.b FROM reach r JOIN und u ON r.m = u.a),
 rep AS (SELECT n, least(n, min(m)) AS rep FROM reach GROUP BY n)
 SELECT n AS member, rep FROM rep WHERE rep != n"""
+
+
+def q_j11_class_equivalence(spark, sf_dir):
+    """J11 cax-eqc: equivalentClass components collapse to the min-IRI rep;
+    type rows rewritten through the class rep map (apply_static_map)."""
+    cust = _read(spark, sf_dir, "customer")
+    types = _rows(
+        cust,
+        _iri("c:", F.col("c_custkey")),
+        TYPE,
+        F.when(F.col("c_custkey") % 2 == 0, F.lit("kg:Buyer")).otherwise(F.lit("kg:Client")),
+    )
+    tb = triples_df(
+        spark,
+        [
+            iri_triple("kg:Buyer", vocab.EQCLASS, "kg:Client"),
+            iri_triple("kg:Client", vocab.EQCLASS, "kg:Purchaser"),
+        ],
+    )
+    t = types.unionByName(tb)
+    tbox = build_tbox_index(extract_tbox(t))
+    out = apply_static_map(t, tbox.class_rep_pairs())
+    return _spo(out.filter(F.col("p") == TYPE))
+
+
+# Buyer≡Client≡Purchaser → min IRI rep = kg:Buyer
+SQL_J11 = f"""SELECT DISTINCT 'c:'||c_custkey::varchar AS s, '{TYPE}' AS p, 'kg:Buyer' AS o FROM customer"""
+
+
+def q_j12_property_equivalence(spark, sf_dir):
+    """J12 prp-eqp: equivalentProperty collapse — every triple's predicate
+    rewritten onto the component's min-IRI representative."""
+    orders = _read(spark, sf_dir, "orders")
+    edges = _rows(
+        orders,
+        _iri("o:", F.col("o_orderkey")),
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit("kg:by")).otherwise(F.lit("kg:orderedBy")),
+        _iri("c:", F.col("o_custkey")),
+    )
+    tb = triples_df(spark, [iri_triple("kg:orderedBy", vocab.EQPROP, "kg:by")])
+    t = edges.unionByName(tb)
+    tbox = build_tbox_index(extract_tbox(t))
+    out = apply_static_map(t, tbox.prop_rep_pairs())
+    return _spo(out.filter(F.col("p") == "kg:by"))
+
+
+SQL_J12 = """SELECT DISTINCT 'o:'||o_orderkey::varchar AS s, 'kg:by' AS p, 'c:'||o_custkey::varchar AS o FROM orders"""
+
+
+def q_chk_disjoint_properties(spark, sf_dir):
+    """J15 prp-pdw: (x p1 y) ∧ (x p2 y) with p1 propertyDisjointWith p2."""
+    cust = _read(spark, sf_dir, "customer")
+    likes = _rows(cust, _iri("c:", F.col("c_custkey")), "kg:likes", _iri("n:", F.col("c_nationkey")))
+    hates = _rows(
+        cust.filter(F.col("c_custkey") % 3 == 0),
+        _iri("c:", F.col("c_custkey")), "kg:hates", _iri("n:", F.col("c_nationkey")),
+    )
+    tb = triples_df(spark, [iri_triple("kg:hates", vocab.PROPDISJOINTWITH, "kg:likes")])
+    t = likes.unionByName(hates).unionByName(tb)
+    tbox = build_tbox_index(extract_tbox(t))
+    return CK.check_disjoint_properties(t, tbox)
+
+
+SQL_CHK_PROPDISJOINT = """SELECT 'c:'||c_custkey::varchar AS s, 'kg:hates' AS p1, 'kg:likes' AS p2,
+'n:'||c_nationkey::varchar AS o FROM customer WHERE c_custkey % 3 = 0"""
+
+
+def q_p3_subject_objects(spark, sf_dir):
+    """P3: g.subject_objects(p) — predicate-selective scan (pushdown)."""
+    t = rel_triples(spark, sf_dir)
+    return t.filter(F.col("p") == "kg:inRegion").select("s", "o").distinct()
+
+
+SQL_P3 = f"""WITH {REL_TRIPLES_CTE.strip()}
+SELECT DISTINCT s, o FROM base WHERE p = 'kg:inRegion'"""
+
+
+def q_p5_membership(spark, sf_dir):
+    """P5: (s,p,o) ∈ G as a left-semi join — which candidate order edges exist."""
+    t = rel_triples(spark, sf_dir)
+    orders = _read(spark, sf_dir, "orders")
+    cand = orders.select(
+        _iri("o:", F.col("o_orderkey")).alias("s"),
+        F.lit("kg:placedBy").alias("p"),
+        _iri(
+            "c:",
+            F.when(F.col("o_orderkey") % 2 == 0, F.col("o_custkey")).otherwise(
+                (F.col("o_custkey") % 100) + 1
+            ),
+        ).alias("o"),
+    )
+    return cand.join(t.select("s", "p", "o"), ["s", "p", "o"], "left_semi")
+
+
+SQL_P5 = f"""WITH {REL_TRIPLES_CTE.strip()},
+cand AS (SELECT 'o:'||o_orderkey::varchar s, 'kg:placedBy' p,
+ 'c:'||(CASE WHEN o_orderkey%2=0 THEN o_custkey ELSE (o_custkey%100)+1 END)::varchar o FROM orders)
+SELECT c.s, c.p, c.o FROM cand c WHERE EXISTS (SELECT 1 FROM base b WHERE b.s=c.s AND b.p=c.p AND b.o=c.o)"""
+
+
+def q_so1_union_distinct(spark, sf_dir):
+    """SO1: graph union with set semantics (dedup is load-bearing)."""
+    t = rel_triples(spark, sf_dir)
+    return _spo(t.unionByName(t.limit(0)).unionByName(t))
+
+
+SQL_SO1 = f"""WITH {REL_TRIPLES_CTE.strip()}
+SELECT DISTINCT s, p, o FROM base"""
+
+
+def q_so2_difference(spark, sf_dir):
+    """SO2: graph difference (oracle-diff semantics, src/graph_isomorph.py:19-27):
+    full graph minus the orders subgraph."""
+    t = _spo(rel_triples(spark, sf_dir))
+    sub = t.filter(F.col("p") == "kg:placedBy")
+    return t.exceptAll(sub)
+
+
+SQL_SO2 = f"""WITH {REL_TRIPLES_CTE.strip()}
+SELECT DISTINCT s, p, o FROM base WHERE p != 'kg:placedBy'"""
+
+
+def q_a1_graph_size(spark, sf_dir):
+    """A1: graph-size count (the fixpoint convergence metric)."""
+    t = _spo(rel_triples(spark, sf_dir))
+    return t.agg(F.count(F.lit(1)).alias("n_triples"))
+
+
+SQL_A1 = f"""WITH {REL_TRIPLES_CTE.strip()}
+SELECT count(*)::BIGINT AS n_triples FROM (SELECT DISTINCT s, p, o FROM base) d"""
 
 
 # ---------------------------------------------------------------------------
@@ -889,6 +1020,14 @@ QUERIES = {
     "j9_functional_sameas": q_j9_functional_sameas,
     "j10_inverse_functional_sameas": q_j10_inverse_functional_sameas,
     "j13_connected_components": q_j13_connected_components,
+    "j11_class_equivalence": q_j11_class_equivalence,
+    "j12_property_equivalence": q_j12_property_equivalence,
+    "chk_disjoint_properties": q_chk_disjoint_properties,
+    "p3_subject_objects": q_p3_subject_objects,
+    "p5_membership": q_p5_membership,
+    "so1_union_distinct": q_so1_union_distinct,
+    "so2_difference": q_so2_difference,
+    "a1_graph_size": q_a1_graph_size,
     "chk_disjoint_classes": q_chk_disjoint_classes,
     "chk_asymmetric": q_chk_asymmetric,
     "chk_irreflexive": q_chk_irreflexive,
@@ -928,6 +1067,14 @@ ORACLES = {
     "j9_functional_sameas": SQL_J9,
     "j10_inverse_functional_sameas": SQL_J10,
     "j13_connected_components": SQL_J13,
+    "j11_class_equivalence": SQL_J11,
+    "j12_property_equivalence": SQL_J12,
+    "chk_disjoint_properties": SQL_CHK_PROPDISJOINT,
+    "p3_subject_objects": SQL_P3,
+    "p5_membership": SQL_P5,
+    "so1_union_distinct": SQL_SO1,
+    "so2_difference": SQL_SO2,
+    "a1_graph_size": SQL_A1,
     "chk_disjoint_classes": SQL_CHK_DISJOINT,
     "chk_asymmetric": SQL_CHK_ASYM,
     "chk_irreflexive": SQL_CHK_IRREFLEXIVE,

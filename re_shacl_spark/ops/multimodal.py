@@ -1,0 +1,223 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` payloads with
+typed metadata, processed by Arrow-batched pandas UDFs over ``mapInPandas``.
+
+The Spark-side plumbing — schema, partitioning, UDF signatures, batch shapes —
+is real and tested.  Stages that need codec libraries (PIL/ffmpeg are not in
+this container) are gated behind import-tries: with the library present they
+decode for real; without it, ``strict=True`` raises NotImplementedError and
+``strict=False`` falls back to a clearly-marked deterministic fake decode of
+our synthetic payload format.  Byte-level feature extraction (histograms, RMS,
+frame sampling by offset) is REAL numpy computation either way.
+
+Synthetic payload format (deterministic, self-describing):
+    image: b"IMG0" + w:uint16 + h:uint16 + w*h gray bytes (row-major)
+    audio: b"AUD0" + sample_rate:uint32 + n:uint32 + n int16 samples
+    video: b"VID0" + n_frames:uint16 + frame_len:uint16 + frames bytes
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+try:  # real decoder if available (not in this container)
+    from PIL import Image  # noqa: F401
+
+    _HAVE_PIL = True
+except Exception:
+    _HAVE_PIL = False
+
+ASSET_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("sample_rate", T.IntegerType()),
+                    T.StructField("duration_ms", T.IntegerType()),
+                    T.StructField("codec", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def _img_payload(i: int) -> bytes:
+    w, h = 8 + (i % 5) * 4, 8 + (i % 3) * 4
+    px = bytes(((x * 31 + y * 17 + i) % 251) for y in range(h) for x in range(w))
+    return b"IMG0" + struct.pack("<HH", w, h) + px
+
+
+def _aud_payload(i: int) -> bytes:
+    sr, n = 8000, 256 + (i % 4) * 64
+    samples = np.array([((k * (i + 3)) % 2048) - 1024 for k in range(n)], dtype="<i2")
+    return b"AUD0" + struct.pack("<II", sr, n) + samples.tobytes()
+
+
+def _vid_payload(i: int) -> bytes:
+    nf, fl = 4 + i % 4, 32
+    frames = bytes(((k * 13 + i) % 256) for k in range(nf * fl))
+    return b"VID0" + struct.pack("<HH", nf, fl) + frames
+
+
+def synth_assets(spark: SparkSession, n: int) -> DataFrame:
+    """Deterministic synthetic asset table (the test/bench stand-in for a real
+    media lake); distributed generation, no driver materialization."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for i in b["id"].tolist():
+                kind = ("image", "audio", "video")[i % 3]
+                if kind == "image":
+                    p = _img_payload(i)
+                    w, h = struct.unpack("<HH", p[4:8])
+                    meta = (w, h, None, None, "syn-gray8")
+                elif kind == "audio":
+                    p = _aud_payload(i)
+                    sr, cnt = struct.unpack("<II", p[4:12])
+                    meta = (None, None, sr, int(cnt * 1000 / sr), "syn-pcm16")
+                else:
+                    p = _vid_payload(i)
+                    nf, fl = struct.unpack("<HH", p[4:8])
+                    meta = (fl, 1, None, nf * 40, "syn-frames")
+                rows.append((i, kind, p, meta))
+            yield pd.DataFrame(rows, columns=["asset_id", "kind", "payload", "meta"])
+
+    return spark.range(n).mapInPandas(gen, ASSET_SCHEMA)
+
+
+IMG_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_px", T.DoubleType()),
+        T.StructField("hist8", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def image_features(assets: DataFrame, strict: bool = False) -> DataFrame:
+    """Decode + feature-extract images: (w, h, mean pixel, 8-bin histogram).
+    Real numpy over the Arrow batch; PIL path used when available for real
+    codecs, else the synthetic IMG0 container is parsed directly."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for aid, payload in zip(b["asset_id"], b["payload"]):
+                if payload is None:
+                    continue
+                raw = bytes(payload)
+                if raw[:4] == b"IMG0":
+                    w, h = struct.unpack("<HH", raw[4:8])
+                    px = np.frombuffer(raw[8 : 8 + w * h], dtype=np.uint8)
+                elif _HAVE_PIL:
+                    import io
+
+                    im = Image.open(io.BytesIO(raw)).convert("L")
+                    w, h = im.size
+                    px = np.asarray(im, dtype=np.uint8).ravel()
+                elif strict:
+                    raise NotImplementedError(
+                        "real image codecs unavailable in this container (no PIL); "
+                        "payload is not the synthetic IMG0 format"
+                    )
+                else:
+                    continue
+                hist = np.bincount(px >> 5, minlength=8).astype("int64")
+                out.append((int(aid), int(w), int(h), float(px.mean()), hist.tolist()))
+            yield pd.DataFrame(out, columns=["asset_id", "width", "height", "mean_px", "hist8"])
+
+    return assets.filter("kind = 'image'").mapInPandas(run, IMG_FEATURES_SCHEMA)
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.IntegerType()),
+    ]
+)
+
+
+def audio_stats(assets: DataFrame, strict: bool = False) -> DataFrame:
+    """PCM stats over the int16 payload: RMS + peak (real numpy math)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for aid, payload in zip(b["asset_id"], b["payload"]):
+                if payload is None:
+                    continue
+                raw = bytes(payload)
+                if raw[:4] != b"AUD0":
+                    if strict:
+                        raise NotImplementedError("real audio codecs unavailable (no ffmpeg)")
+                    continue
+                sr, n = struct.unpack("<II", raw[4:12])
+                x = np.frombuffer(raw[12 : 12 + 2 * n], dtype="<i2").astype("float64")
+                out.append(
+                    (int(aid), int(sr), int(n), float(np.sqrt((x * x).mean())), int(np.abs(x).max()))
+                )
+            yield pd.DataFrame(out, columns=["asset_id", "sample_rate", "n_samples", "rms", "peak"])
+
+    return assets.filter("kind = 'audio'").mapInPandas(run, AUDIO_STATS_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(assets: DataFrame, every: int = 2, strict: bool = False) -> DataFrame:
+    """Video → every-k-th frame as its own binary row (the fan-out shape real
+    frame extraction has; one output row per sampled frame)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for aid, payload in zip(b["asset_id"], b["payload"]):
+                if payload is None:
+                    continue
+                raw = bytes(payload)
+                if raw[:4] != b"VID0":
+                    if strict:
+                        raise NotImplementedError("real video codecs unavailable (no ffmpeg)")
+                    continue
+                nf, fl = struct.unpack("<HH", raw[4:8])
+                for k in range(0, nf, every):
+                    out.append((int(aid), k, raw[8 + k * fl : 8 + (k + 1) * fl]))
+            yield pd.DataFrame(out, columns=["asset_id", "frame_idx", "frame"])
+
+    return assets.filter("kind = 'video'").mapInPandas(run, FRAME_SCHEMA)
+
+
+def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
+    """Real resize needs PIL — absent in this container, so this surface is an
+    explicit stub (the brief's mandated NotImplementedError gate); with PIL
+    installed it would mirror image_features' mapInPandas shape."""
+    if not _HAVE_PIL:
+        raise NotImplementedError(
+            "resize requires PIL, which is not installed here; the decode/feature "
+            "path (image_features) demonstrates the identical mapInPandas plumbing"
+        )
+    raise NotImplementedError("PIL resize path not wired yet")

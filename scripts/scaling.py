@@ -65,12 +65,20 @@ def main() -> None:
     ap.add_argument("--body-repeat", type=int, default=40)
     ap.add_argument("--n-cores", type=int, default=2)
     ap.add_argument("--xn-cores", type=int, default=8)
+    ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_SCALING.json"))
     args = ap.parse_args()
 
     pyfiles = make_pyfiles_zip()
-    r8 = run_at(args.n_cores, args.pages, pyfiles, args.body_repeat)
-    r32 = run_at(args.xn_cores, args.pages, pyfiles, args.body_repeat)
+
+    def best_of(cores: int) -> dict:
+        # the sandbox has noisy neighbors: take the best of --reps runs
+        # (min wall = least interference) per parallelism level
+        runs = [run_at(cores, args.pages, pyfiles, args.body_repeat) for _ in range(args.reps)]
+        return min(runs, key=lambda r: r["wall_sec"])
+
+    r8 = best_of(args.n_cores)
+    r32 = best_of(args.xn_cores)
     eff = (r32["triples_per_sec"] / r8["triples_per_sec"]) / 4.0
     result = {
         "pages": args.pages,
