@@ -305,6 +305,32 @@ rep AS (SELECT n, least(n, min(m)) AS rep FROM reach GROUP BY n)
 SELECT n AS member, rep FROM rep WHERE rep != n"""
 
 
+def q_j1_domain_scoped(spark, sf_dir):
+    """The 'Re-' core (SURVEY §4 row 1): scope-restricted rule firing — only
+    shape-reachable classes enter the rule engine.  Scope = {kg:Order} keeps
+    the placedBy domain axiom; everything else is pruned before the join."""
+    t = rel_triples(spark, sf_dir)
+    tb = build_tbox_index(extract_tbox(t))
+    eng = RuleEngine(spark, tb, Scope(classes={"kg:Order"}))
+    return _spo(eng.rule_domain(t))
+
+
+SQL_J1_SCOPED = SQL_J1  # scope {kg:Order} keeps exactly the one domain axiom
+
+
+def q_j2_range_scoped(spark, sf_dir):
+    """Scoped range typing: only kg:Nation survives the class scope, so
+    customers/regions get no derived types."""
+    t = rel_triples(spark, sf_dir)
+    tb = build_tbox_index(extract_tbox(t))
+    eng = RuleEngine(spark, tb, Scope(classes={"kg:Nation"}))
+    return _spo(eng.rule_range(t))
+
+
+SQL_J2_SCOPED = f"""WITH {REL_TRIPLES_CTE.strip()}
+SELECT DISTINCT o AS s, '{TYPE}' AS p, 'kg:Nation' AS o FROM base WHERE p = 'kg:inNation'"""
+
+
 def q_j11_class_equivalence(spark, sf_dir):
     """J11 cax-eqc: equivalentClass components collapse to the min-IRI rep;
     type rows rewritten through the class rep map (apply_static_map)."""
@@ -1020,6 +1046,8 @@ QUERIES = {
     "j9_functional_sameas": q_j9_functional_sameas,
     "j10_inverse_functional_sameas": q_j10_inverse_functional_sameas,
     "j13_connected_components": q_j13_connected_components,
+    "j1_domain_scoped": q_j1_domain_scoped,
+    "j2_range_scoped": q_j2_range_scoped,
     "j11_class_equivalence": q_j11_class_equivalence,
     "j12_property_equivalence": q_j12_property_equivalence,
     "chk_disjoint_properties": q_chk_disjoint_properties,
@@ -1067,6 +1095,8 @@ ORACLES = {
     "j9_functional_sameas": SQL_J9,
     "j10_inverse_functional_sameas": SQL_J10,
     "j13_connected_components": SQL_J13,
+    "j1_domain_scoped": SQL_J1_SCOPED,
+    "j2_range_scoped": SQL_J2_SCOPED,
     "j11_class_equivalence": SQL_J11,
     "j12_property_equivalence": SQL_J12,
     "chk_disjoint_properties": SQL_CHK_PROPDISJOINT,

@@ -337,3 +337,24 @@ def _resolve_node_refs(
         F.when(F.col("node_ref").isNull(), F.lit(True)).otherwise(F.col("_ref_node").isNotNull()),
     ).drop("_ref_shape", "_ref_node")
     return g
+
+
+def validate_fail_fast(
+    spark: SparkSession,
+    triples: DataFrame,
+    shapes: list[NodeShape],
+    tbox: TBoxIndex | None = None,
+) -> ValidationReport:
+    """Per-shape early termination (north_rule: "early-termination per shape",
+    the conformance-check analog of the reference's reduced validation): shapes
+    evaluate one at a time — each in a single-pass aggregation — and the first
+    non-conforming shape ends the run.  ``shapes_evaluated`` records how far it
+    got; a conforming graph pays the same cost as ``validate``."""
+    for i, ns in enumerate(shapes):
+        rep = validate(spark, triples, [ns], tbox)
+        if not rep.conforms:
+            return ValidationReport(rep.violations, False, i + 1)
+    empty = spark.createDataFrame(
+        [], "focus string, shape string, path string, constraint string, value string"
+    )
+    return ValidationReport(empty, True, len(shapes))

@@ -112,3 +112,22 @@ def test_conforming_graph(spark):
                         properties=[PropertyConstraint(path=EX + "status", max_count=5)])]
     got, rep = _viol(spark, g, shapes)
     assert got == set() and rep.conforms
+
+
+def test_fail_fast_stops_at_first_violating_shape(spark):
+    from re_shacl_spark.validate.engine import validate_fail_fast
+
+    g = _graph(spark)
+    bad = NodeShape("Bad", target_classes=[EX + "Person"],
+                    properties=[PropertyConstraint(path=EX + "knows", min_count=5)])
+    never = NodeShape("Never", target_classes=[EX + "Person"],
+                      properties=[PropertyConstraint(path=EX + "status", min_count=99)])
+    rep = validate_fail_fast(spark, g, [bad, never])
+    assert not rep.conforms
+    assert rep.shapes_evaluated == 1  # 'Never' was never evaluated
+    assert {r.shape for r in rep.violations.collect()} == {"Bad"}
+
+    ok = NodeShape("Ok", target_classes=[EX + "Person"],
+                   properties=[PropertyConstraint(path=EX + "status", max_count=9)])
+    rep2 = validate_fail_fast(spark, g, [ok, ok])
+    assert rep2.conforms and rep2.shapes_evaluated == 2
