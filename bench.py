@@ -53,8 +53,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm the JVM/codegen paths once (reference protocol: preheat before timing,
-    # run_experiment.py:156-159)
+    # run_experiment.py:156-159) — including the fixpoint machinery, whose first
+    # run pays JIT + codegen compilation across ~30 job barriers
     kgbench.q_rel_q1(spark, sf_dir).count()
+    kgbench.q_kg_fuse(spark, "/root/testdata/sf0.001").count()
 
     per_q: dict[str, float] = {}
     rows: dict[str, int] = {}

@@ -184,10 +184,42 @@ class RuleEngine:
             )
         )
 
+    TRANSITIVE_DRIVER_EDGE_CAP = 300_000   # collect threshold (rows)
+    TRANSITIVE_DRIVER_CLOSURE_CAP = 3_000_000  # bail if closure explodes
+
+    def _driver_transitive_closure(self, rows: list) -> list | None:
+        """Python closure for small edge sets; None = closure too large,
+        caller falls back to the distributed path."""
+        from collections import defaultdict, deque
+
+        succ: dict = defaultdict(set)
+        for r in rows:
+            succ[(r.p, r.s)].add(r.o)
+        out: list = []
+        for (p, s), direct in list(succ.items()):
+            seen: set = set()
+            dq = deque(direct)
+            while dq:
+                o = dq.popleft()
+                if o in seen:
+                    continue
+                seen.add(o)
+                dq.extend(succ.get((p, o), ()))
+            out.extend((s, p, o) for o in seen)
+            if len(out) > self.TRANSITIVE_DRIVER_CLOSURE_CAP:
+                return None
+        return out
+
     def rule_transitive(self, triples: DataFrame) -> DataFrame:
         """J7: full transitive closure of every owl:TransitiveProperty, all
-        properties in one keyed frame.  Doubling self-join (closure ⋈ closure)
-        → O(log path-length) rounds; localCheckpoint truncates lineage per round."""
+        properties in one keyed frame.
+
+        Small edge sets (≤ TRANSITIVE_DRIVER_EDGE_CAP after dedup) close on the
+        driver — per-source BFS, one collect — because each distributed
+        doubling round costs two shuffles + a convergence probe regardless of
+        size.  Larger relations use the doubling self-join (closure ⋈ closure,
+        O(log path-length) rounds, localCheckpoint truncating lineage), with a
+        driver bail-back if a collected closure explodes past the cap."""
         props = [p for p in self.tbox.transitive if self._keep_prop(p)]
         if not props:
             return triples.limit(0)
@@ -200,6 +232,21 @@ class RuleEngine:
             .distinct()
             .localCheckpoint(eager=True)
         )
+        head = e.limit(self.TRANSITIVE_DRIVER_EDGE_CAP + 1).collect()
+        if len(head) <= self.TRANSITIVE_DRIVER_EDGE_CAP:
+            closed = self._driver_transitive_closure(head)
+            if closed is not None:
+                if not closed:
+                    return triples.limit(0)
+                df = self.spark.createDataFrame(closed, ["s", "p", "o"])
+                return df.select(
+                    "s",
+                    "p",
+                    "o",
+                    F.lit(None).cast("struct<lex:string,dtype:string,lang:string>").alias("o_lit"),
+                    F.lit(False).alias("is_lit"),
+                    F.lit(None).cast("string").alias("src_url"),
+                )
         closure = e
         for _ in range(32):
             nxt = (

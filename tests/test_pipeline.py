@@ -170,3 +170,29 @@ def test_determinism_two_parallelism_levels():
         assert lines, f"no digest at local[{n}]: {out.stderr[-2000:]}"
         digests.append(lines[-1])
     assert digests[0] == digests[1]
+
+
+def test_transitive_distributed_path_matches_driver(spark):
+    """Force the doubling self-join (cap=0) and compare with the driver BFS."""
+    from re_shacl_spark.reasoning.rules import RuleEngine, Scope
+    from re_shacl_spark.reasoning.tbox import build_tbox_index, extract_tbox
+    from re_shacl_spark.model.triples import vocab
+
+    ttl = """
+    @prefix : <http://x.org/> .
+    @prefix owl: <http://www.w3.org/2002/07/owl#> .
+    :partOf a owl:TransitiveProperty .
+    """
+    rows = parse_ttl(ttl)
+    rows += [(f"http://x.org/n{i}", "http://x.org/partOf", f"http://x.org/n{i+1}", None, False, None)
+             for i in range(40)]
+    rows += [(f"http://x.org/m{i}", "http://x.org/partOf", f"http://x.org/m{(i*3+1) % 20}", None, False, None)
+             for i in range(20)]
+    df = triples_df(spark, rows)
+    tbox = build_tbox_index(extract_tbox(df))
+    eng = RuleEngine(spark, tbox, Scope.unrestricted())
+    driver = {(r.s, r.p, r.o) for r in eng.rule_transitive(df).collect()}
+    eng2 = RuleEngine(spark, tbox, Scope.unrestricted())
+    eng2.TRANSITIVE_DRIVER_EDGE_CAP = 0
+    dist = {(r.s, r.p, r.o) for r in eng2.rule_transitive(df).collect()}
+    assert driver == dist and len(driver) > 60
