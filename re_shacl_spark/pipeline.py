@@ -83,7 +83,8 @@ def fuse(
     reference does at re_shacl.py:734-737.
     """
     ensure_fixpoint_confs(spark)
-    tbox = build_tbox_index(extract_tbox(triples))
+    tbox_rows = extract_tbox(triples)
+    tbox = build_tbox_index(tbox_rows)
     engine = RuleEngine(spark, tbox, scope or Scope.unrestricted())
 
     # TBox-level equivalence collapse first (class + property reps) — the
@@ -129,6 +130,10 @@ def fuse(
     delta = cur
     merged_last = False
     trans_props = sorted(tbox.transitive)
+    # every IRI the TBox index was built from: if a sameAs merge renames one of
+    # these, the driver-closed maps go stale and must be rebuilt from the
+    # rewritten graph (classes/properties CAN be sameAs-merged — eq-rep-p)
+    tbox_terms = sorted({t for row in tbox_rows for t in row})
     for rounds in range(1, max_rounds + 1):
         progressed = False
 
@@ -163,6 +168,22 @@ def fuse(
                     rep_map = rep_map.localCheckpoint(eager=True)
                     progressed = True
                     merged_last = True
+                    if tbox_terms and not new_reps.filter(
+                        F.col("member").isin(tbox_terms)
+                    ).isEmpty():
+                        # a merge renamed a TBox term: rebuild the closed maps
+                        # from the rewritten graph and re-derive from scratch
+                        tbox_rows = extract_tbox(cur)
+                        tbox = build_tbox_index(tbox_rows)
+                        engine = RuleEngine(spark, tbox, scope or Scope.unrestricted())
+                        trans_props = sorted(tbox.transitive)
+                        tbox_terms = sorted({t for row in tbox_rows for t in row})
+                        # merges may have created fresh class/property
+                        # equivalences — collapse them like the initial pass
+                        static = tbox.class_rep_pairs() + tbox.prop_rep_pairs()
+                        if static:
+                            cur = apply_static_map(cur, static).localCheckpoint(eager=True)
+                        new = cur  # next round re-derives over the full graph
         if not progressed:
             break
         delta = new

@@ -196,3 +196,28 @@ def test_transitive_distributed_path_matches_driver(spark):
     eng2.TRANSITIVE_DRIVER_EDGE_CAP = 0
     dist = {(r.s, r.p, r.o) for r in eng2.rule_transitive(df).collect()}
     assert driver == dist and len(driver) > 60
+
+
+def test_sameas_merge_of_tbox_terms_rebuilds_index(spark):
+    """sameAs can rename CLASS/PROPERTY IRIs.  When the representative is a
+    name the original TBox never mentioned, the driver-closed maps are stale —
+    fuse must rebuild them from the rewritten graph or lose derivations."""
+    ttl = """
+    @prefix : <http://x.org/> .
+    @prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+    @prefix owl: <http://www.w3.org/2002/07/owl#> .
+    :Zcls rdfs:subClassOf :Base .
+    :A0 owl:sameAs :Zcls .
+    :item a :A0 .
+    :qprop rdfs:subPropertyOf :super .
+    :b0 owl:sameAs :qprop .
+    :x :b0 :y .
+    """
+    res = fuse(spark, triples_df(spark, parse_ttl(ttl)))
+    triples = {(r.s, r.p, r.o) for r in res.triples.collect()}
+    X = "http://x.org/"
+    # Zcls merged INTO A0 (min IRI); its subclass axiom must follow
+    assert (X + "item", vocab.TYPE, X + "Base") in triples
+    assert (X + "A0", "http://www.w3.org/2000/01/rdf-schema#subClassOf", X + "Base") in triples
+    # qprop merged INTO b0; its subproperty axiom must follow
+    assert (X + "x", X + "super", X + "y") in triples
