@@ -859,15 +859,19 @@ SQL_DEDUP_SIMHASH = f"WITH {SQL_DOCS_CTE},\n{_sql_simhash()}"
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    return D.ngram_jaccard_pairs(_docs_with_dups(spark, sf_dir), threshold=0.6)
+    # max_df caps the inverted-index blowup on stopword shingles — the
+    # web-scale knob; sizes stay unfiltered so Jaccard keeps its exact meaning
+    return D.ngram_jaccard_pairs(_docs_with_dups(spark, sf_dir), threshold=0.6, max_df=500)
 
 
 SQL_DEDUP_JACCARD = f"""WITH {SQL_DOCS_CTE},
 {_SQL_SHINGLES},
 sizes AS (SELECT doc_id, count(*) sz FROM sh GROUP BY doc_id),
+rare AS (SELECT sh FROM (SELECT sh, count(*) df FROM sh GROUP BY sh) WHERE df <= 500),
+shf AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare USING(sh)),
 common AS (
   SELECT a.doc_id id_a, b.doc_id id_b, count(*) common
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT c.id_a, c.id_b, round(c.common / (sa.sz + sb.sz - c.common), 6) AS jaccard

@@ -170,8 +170,13 @@ def ngram_jaccard_pairs(
     sh = df.select("doc_id", F.explode(_shingles(text_col, n)).alias("sh"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     if max_df:
-        rare = sh.groupBy("sh").agg(F.count("*").alias("df_")).filter(F.col("df_") <= max_df)
-        sh = sh.join(F.broadcast(rare.select("sh")), "sh", "left_semi")
+        # the FREQUENT set is the small one (web shingle distributions are
+        # long-tailed) — broadcast it and anti-join; broadcasting the rare set
+        # would ship nearly the whole vocabulary to every executor
+        frequent = (
+            sh.groupBy("sh").agg(F.count("*").alias("df_")).filter(F.col("df_") > max_df)
+        )
+        sh = sh.join(F.broadcast(frequent.select("sh")), "sh", "left_anti")
     a = sh.select(F.col("doc_id").alias("id_a"), "sh")
     b = sh.select(F.col("doc_id").alias("id_b"), "sh")
     common = (
