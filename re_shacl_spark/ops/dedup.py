@@ -137,19 +137,27 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
 
 def simhash_near_dups(df: DataFrame, text_col: str = "text", bits: int = 32, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming.  Candidates via
-    16-bit half-signature buckets (pigeonhole: ≤3 differing bits ⇒ one half
-    identical) — two equi-joins, no cross join."""
+    band buckets: the signature splits into ``max_hamming + 1`` bands, and by
+    pigeonhole ≤ max_hamming differing bits leave at least one band identical
+    — one equi-join per band, no cross join."""
     sig = simhash(df, text_col, bits).localCheckpoint(eager=True)
-    half = bits // 2
-    lo = F.pmod(F.col("simhash"), F.lit(2**half)).alias("bucket")
-    hi = F.floor(F.col("simhash") / F.lit(2**half)).cast("long").alias("bucket")
+    n_bands = max_hamming + 1
+    band_bits = bits // n_bands
     frames = []
-    for part in (lo, hi):
-        s = sig.select("doc_id", "simhash", part)
+    for band in range(n_bands):
+        lo_bit = band * band_bits
+        width = band_bits if band < n_bands - 1 else bits - lo_bit
+        bucket = F.pmod(
+            F.shiftright(F.col("simhash"), lo_bit), F.lit(2**width)
+        ).alias("bucket")
+        s = sig.select("doc_id", "simhash", bucket)
         a = s.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sig_a"), "bucket")
         b = s.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sig_b"), "bucket")
         frames.append(a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b")).drop("bucket"))
-    cands = frames[0].unionByName(frames[1]).distinct()
+    cands = frames[0]
+    for f in frames[1:]:
+        cands = cands.unionByName(f)
+    cands = cands.distinct()
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return cands.select("id_a", "id_b", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming

@@ -125,3 +125,28 @@ def test_fingerprint_normalization(spark):
     got = TS.fingerprint(d).collect()
     assert got[0].fp_md5 == got[1].fp_md5
     assert got[0].fp64 == got[1].fp64
+
+
+def test_simhash_near_dups_complete_vs_bruteforce(spark):
+    """The banding must find EVERY pair with hamming <= max_hamming (pigeonhole
+    completeness) — verified against a driver-side brute force."""
+    import itertools, random
+
+    rnd = random.Random(5)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = []
+    for i in range(50):
+        base = rnd.sample(vocab, 12)
+        texts.append(" ".join(base))
+        if i % 3 == 0:  # near variant: swap one word
+            v = list(base)
+            v[0] = rnd.choice(vocab)
+            texts.append(" ".join(v))
+    d = _docs(spark, texts)
+    sigs = {r.doc_id: r.simhash for r in D.simhash(d).collect()}
+    want = set()
+    for a, b in itertools.combinations(sorted(sigs), 2):
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3:
+            want.add((a, b))
+    got = {(r.id_a, r.id_b) for r in D.simhash_near_dups(d, max_hamming=3).collect()}
+    assert got == want and len(want) > 0
