@@ -1135,3 +1135,41 @@ ORACLES = {
     "rel_q1": SQL_REL_Q1,
     # sim_lsh_topk: rows-only (hyperplane constants impractical in SQL)
 }
+
+# ---------------------------------------------------------------------------
+# rows-only queries (no SQL oracle): multimodal plumbing + the full DAG
+# ---------------------------------------------------------------------------
+
+def q_mm_image_features(spark, sf_dir):
+    """Multimodal: image decode + feature extraction over binary payloads
+    (rows-only: payload parsing is not SQL-expressible; determinism pinned in
+    tests/test_multimodal.py)."""
+    from re_shacl_spark.ops import multimodal as MM
+
+    f = MM.image_features(MM.synth_assets(spark, 300))
+    return f.select("asset_id", "width", "height", F.round("mean_px", 6).alias("mean_px"))
+
+
+def q_mm_audio_stats(spark, sf_dir):
+    from re_shacl_spark.ops import multimodal as MM
+
+    a = MM.audio_stats(MM.synth_assets(spark, 300))
+    return a.select("asset_id", "sample_rate", "n_samples", F.round("rms", 6).alias("rms"), "peak")
+
+
+def q_kg_pipeline_e2e(spark, sf_dir):
+    """The whole north-star DAG on a generated 2k-page corpus: conformant
+    triples out (rows-only; stage semantics are oracle-checked piecewise via
+    kg_extract_text / kg_mentions / kg_emit_triples / kg_fuse / v_*)."""
+    from re_shacl_spark import corpus
+    from re_shacl_spark.job import construct_kg
+
+    pages = corpus.generate_pages(spark, 2000, seed=13)
+    res = construct_kg(spark, pages, corpus.alias_rows())
+    return _spo(res.conformant)
+
+
+QUERIES["kg_pipeline_e2e"] = q_kg_pipeline_e2e
+QUERIES["mm_image_features"] = q_mm_image_features
+QUERIES["mm_audio_stats"] = q_mm_audio_stats
+# (rows-only: intentionally absent from ORACLES)
