@@ -70,6 +70,25 @@ def main() -> None:
         if name == "kg_fuse":
             triples_per_sec = round(n / dt, 1)
 
+    # scale-path evidence in the per-round record: the reasoning fixpoint over
+    # a synthetic multi-million-triple graph (JVM-generated; no Python in the
+    # data path) — the number that tracks 100 TB readiness, vs the barrier-
+    # bound toy-scale kg_fuse above
+    import subprocess
+
+    fuse_stress = None
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)), "jobs", "fuse_bench.py"),
+             "--triples", "2000000"],
+            capture_output=True, text=True, timeout=300,
+        )
+        line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")]
+        if line:
+            fuse_stress = json.loads(line[-1])["triples_per_sec"]
+    except Exception:
+        pass
+
     total = round(sum(per_q.values()), 3)
     print(
         json.dumps(
@@ -80,6 +99,7 @@ def main() -> None:
                 "queries": per_q,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "triples_per_sec": triples_per_sec,
+                "fuse_stress_triples_per_sec": fuse_stress,
                 "rows": rows,
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
             }
