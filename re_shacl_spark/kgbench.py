@@ -1173,3 +1173,35 @@ QUERIES["kg_pipeline_e2e"] = q_kg_pipeline_e2e
 QUERIES["mm_image_features"] = q_mm_image_features
 QUERIES["mm_audio_stats"] = q_mm_audio_stats
 # (rows-only: intentionally absent from ORACLES)
+
+def q_rel_events_hourly(spark, sf_dir):
+    """Hourly event rollup (the batch analog of a streaming windowed agg):
+    timestamp_ntz bucketing is timezone-independent; money summed in integer
+    cents so the aggregate is order-insensitive and oracle-exact."""
+    ev = _read(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").cast("string").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents).alias("sum_cents"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.count_distinct("user_id").alias("users"),
+        )
+    )
+
+
+SQL_REL_EVENTS = """SELECT date_trunc('hour', ts)::varchar AS hour, event_type,
+count(*)::BIGINT AS n_events,
+sum((round(value*100))::BIGINT)::BIGINT AS sum_cents,
+min(value) AS min_value, max(value) AS max_value,
+count(DISTINCT user_id)::BIGINT AS users
+FROM events GROUP BY 1, 2"""
+
+
+QUERIES["rel_events_hourly"] = q_rel_events_hourly
+ORACLES["rel_events_hourly"] = SQL_REL_EVENTS
