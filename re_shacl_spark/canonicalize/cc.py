@@ -85,10 +85,15 @@ def _driver_union_find(rows: list) -> list[tuple[str, str]]:
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:
-        p = parent.setdefault(x, x)
-        if p != x:
-            parent[x] = p = find(p)
-        return p
+        # iterative walk + second-pass path compression: chain-shaped
+        # components (union-by-min has no rank) would blow Python's ~1000
+        # recursion limit on a recursive find
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
 
     for u, v in rows:
         ru, rv = find(u), find(v)

@@ -18,6 +18,13 @@ from pyspark.sql import functions as F
 
 from re_shacl_spark.model.triples import vocab
 
+# rows above which the rep map is NOT broadcast: ~2M (member, rep) IRI pairs is
+# roughly 200-400 MB serialized — at web scale a sameAs closure can reach
+# hundreds of millions of members, which would OOM the driver/executors if
+# force-broadcast (SURVEY §2.3 J13 names both regimes).  Above the gate the
+# rewrite falls back to Catalyst's shuffle join (sort-merge / AQE).
+BROADCAST_REP_MAP_MAX_ROWS = 2_000_000
+
 # predicates whose reflexive form is pure bookkeeping after an equivalence
 # collapse: (rep, sameAs, rep) etc. — dropped like the reference drops merged
 # nodes' residue (re_shacl.py:533-541 removes while rewriting)
@@ -54,12 +61,14 @@ def canonicalize_triples(
 ) -> DataFrame:
     """Rewrite s, o (and p) through rep_map[member, rep]; dedup the collapsed set.
 
-    broadcast=None auto-selects: explicit F.broadcast when the caller knows the
-    map is small (entity-resolution maps usually are vs the triple corpus);
-    otherwise Catalyst/AQE picks sort-merge.  Literal objects are never rewritten.
+    broadcast=None auto-selects by SIZE-GATE: broadcast iff the map has at most
+    ``BROADCAST_REP_MAP_MAX_ROWS`` rows (cheap limit+count probe — the map is
+    checkpointed by every caller on the fuse path), else leave the join to
+    Catalyst/AQE (sort-merge).  Literal objects are never rewritten.
     """
     if broadcast is None:
-        broadcast = True  # rep maps are member→rep pairs only; dwarfed by triples
+        n = rep_map.limit(BROADCAST_REP_MAP_MAX_ROWS + 1).count()
+        broadcast = n <= BROADCAST_REP_MAP_MAX_ROWS
     out = _rewrite_col(triples, "s", rep_map, broadcast)
     # object rewrite only for IRI objects — literals keep their lexical form
     m = rep_map.select(F.col("member").alias("_o_member"), F.col("rep").alias("_o_rep"))

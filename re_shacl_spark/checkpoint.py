@@ -46,12 +46,28 @@ class CheckpointStore:
         return f"{self.base}/stages/{stage}.manifest.json"
 
     # -- api --------------------------------------------------------------------
-    def has(self, stage: str) -> bool:
-        return os.path.exists(f"{self._stage_dir(stage)}/_SUCCESS") and os.path.exists(
-            self._manifest(stage)
-        )
+    def has(self, stage: str, fingerprint: str | None = None) -> bool:
+        """Complete AND (if a fingerprint is given) produced from the same
+        inputs.  A manifest fingerprint mismatch means the checkpoint is stale
+        (resumed with changed pages/aliases/shapes/seed) and the stage must be
+        recomputed — without this, resume silently returns old outputs."""
+        if not (
+            os.path.exists(f"{self._stage_dir(stage)}/_SUCCESS")
+            and os.path.exists(self._manifest(stage))
+        ):
+            return False
+        if fingerprint is None:
+            return True
+        with open(self._manifest(stage)) as f:
+            return json.load(f).get("fingerprint") == fingerprint
 
-    def save(self, stage: str, df: DataFrame, meta: dict[str, str] | None = None) -> DataFrame:
+    def save(
+        self,
+        stage: str,
+        df: DataFrame,
+        meta: dict[str, str] | None = None,
+        fingerprint: str | None = None,
+    ) -> DataFrame:
         """Write stage output + lineage; returns the re-read (checkpointed)
         frame so downstream plans hang off the files, not the upstream DAG."""
         out = self._stage_dir(stage)
@@ -76,11 +92,11 @@ class CheckpointStore:
         lineage.write.mode("overwrite").parquet(self._lineage_dir(stage))
         # manifest written LAST: a stage is resumable only once lineage exists too
         with open(self._manifest(stage), "w") as f:
-            json.dump({"stage": stage, "meta": meta}, f)
+            json.dump({"stage": stage, "meta": meta, "fingerprint": fingerprint}, f)
         return persisted
 
-    def load(self, stage: str) -> DataFrame | None:
-        if not self.has(stage):
+    def load(self, stage: str, fingerprint: str | None = None) -> DataFrame | None:
+        if not self.has(stage, fingerprint):
             return None
         return self.spark.read.parquet(self._stage_dir(stage))
 
@@ -111,11 +127,22 @@ class CheckpointStore:
         build,
         meta: dict[str, str] | None = None,
         force: bool = False,
+        fingerprint: str | None = None,
     ) -> DataFrame:
-        """Resume-or-compute: return the checkpointed frame if complete,
-        otherwise call ``build()`` and persist its result."""
+        """Resume-or-compute: return the checkpointed frame if complete (and,
+        when a fingerprint is given, input-compatible), otherwise call
+        ``build()`` and persist its result."""
         if not force:
-            cached = self.load(stage)
+            cached = self.load(stage, fingerprint)
             if cached is not None:
                 return cached
-        return self.save(stage, build(), meta)
+        return self.save(stage, build(), meta, fingerprint)
+
+
+def input_fingerprint(*parts) -> str:
+    """Deterministic md5 over a json rendering of arbitrary input descriptors
+    (alias rows, shape reprs, input file lists, seeds…).  Cheap — no Spark job."""
+    import hashlib
+
+    blob = json.dumps([repr(p) for p in parts], sort_keys=True).encode()
+    return hashlib.md5(blob).hexdigest()

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from re_shacl_spark import corpus
-from re_shacl_spark.checkpoint import CheckpointStore
+from re_shacl_spark.checkpoint import CheckpointStore, input_fingerprint
 from re_shacl_spark.extract.emit import KG, MENTIONS_P, SURFACE_P, emit_triples
 from re_shacl_spark.extract.html import extract_text
 from re_shacl_spark.extract.mentions import detect_mentions
@@ -91,9 +91,20 @@ def construct_kg(
 
     stage_sec: dict[str, float] = {}
 
+    # one fingerprint over every DAG input: resuming after ANY input change
+    # (pages file set, aliases, classes, tbox, shapes) invalidates all stages
+    # instead of silently serving stale checkpoints
+    try:
+        page_src = sorted(pages.inputFiles())
+    except Exception:  # non-file-backed frame (e.g. in-memory test data)
+        page_src = [pages.schema.json()]
+    fp = input_fingerprint(
+        page_src, alias_rows, sorted((entity_classes or {}).items()), tbox_rows, shapes
+    )
+
     def run(stage, build, meta=None):
         t = time.time()
-        out = build() if store is None else store.run_stage(stage, build, meta)
+        out = build() if store is None else store.run_stage(stage, build, meta, fingerprint=fp)
         stage_sec[stage] = round(time.time() - t, 2)
         return out
 
@@ -114,7 +125,7 @@ def construct_kg(
     s3 = run("s3_triples", build_triples)
 
     t_fuse = time.time()
-    if store is not None and store.has("s4_fused") and store.has("s4_repmap"):
+    if store is not None and store.has("s4_fused", fp) and store.has("s4_repmap", fp):
         fused_triples = store.load("s4_fused")
         rep_map = store.load("s4_repmap")
         rounds = int((store.stage_meta("s4_fused") or {}).get("rounds", "0"))
@@ -122,8 +133,8 @@ def construct_kg(
         res = fuse(spark, s3, assume_distinct=True)
         rounds = res.rounds
         if store is not None:
-            fused_triples = store.save("s4_fused", res.triples, {"rounds": rounds})
-            rep_map = store.save("s4_repmap", res.rep_map, {"rounds": rounds})
+            fused_triples = store.save("s4_fused", res.triples, {"rounds": rounds}, fingerprint=fp)
+            rep_map = store.save("s4_repmap", res.rep_map, {"rounds": rounds}, fingerprint=fp)
         else:
             fused_triples, rep_map = res.triples, res.rep_map
     stage_sec["s4_fuse"] = round(time.time() - t_fuse, 2)

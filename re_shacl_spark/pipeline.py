@@ -29,7 +29,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from re_shacl_spark.canonicalize.cc import connected_components
-from re_shacl_spark.canonicalize.rewrite import apply_static_map, canonicalize_triples
+from re_shacl_spark.canonicalize.rewrite import (
+    BROADCAST_REP_MAP_MAX_ROWS,
+    apply_static_map,
+    canonicalize_triples,
+)
 from re_shacl_spark.model.triples import dedup_triples, vocab
 from re_shacl_spark.reasoning.checks import run_all_checks
 from re_shacl_spark.reasoning.rules import RuleEngine, Scope
@@ -162,15 +166,32 @@ def fuse(
             if not edges.isEmpty():
                 new_reps = connected_components(edges, n_salts=cc_salts)
                 if not new_reps.isEmpty():
-                    cur = canonicalize_triples(cur, new_reps).localCheckpoint(eager=True)
-                    new = canonicalize_triples(new, new_reps) if has_new else new
-                    rep_map = _compose_rep_maps(rep_map, new_reps.localCheckpoint(eager=True))
+                    new_reps = new_reps.localCheckpoint(eager=True)
+                    # size-gate ONCE per round on the checkpointed map, pass the
+                    # decision through (SURVEY §2.3 J13: broadcast small maps,
+                    # sort-merge web-scale ones)
+                    bcast = (
+                        new_reps.limit(BROADCAST_REP_MAP_MAX_ROWS + 1).count()
+                        <= BROADCAST_REP_MAP_MAX_ROWS
+                    )
+                    cur = canonicalize_triples(
+                        cur, new_reps, broadcast=bcast
+                    ).localCheckpoint(eager=True)
+                    new = canonicalize_triples(new, new_reps, broadcast=bcast) if has_new else new
+                    rep_map = _compose_rep_maps(rep_map, new_reps)
                     rep_map = rep_map.localCheckpoint(eager=True)
                     progressed = True
                     merged_last = True
                     if tbox_terms and not new_reps.filter(
                         F.col("member").isin(tbox_terms)
+                        | F.col("rep").isin(tbox_terms)
                     ).isEmpty():
+                        # member side: a TBox term was renamed → closed maps are
+                        # stale.  rep side: a non-TBox IRI merged INTO a TBox
+                        # term — the rewrite lands rows on that term only in
+                        # `cur`, never in the delta, so delta-fed linear rules
+                        # would silently miss them; re-derive over the full
+                        # graph (new = cur below).
                         # a merge renamed a TBox term: rebuild the closed maps
                         # from the rewritten graph and re-derive from scratch
                         tbox_rows = extract_tbox(cur)

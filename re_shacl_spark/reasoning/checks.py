@@ -63,9 +63,15 @@ def check_disjoint_classes(triples: DataFrame, tbox: TBoxIndex) -> DataFrame:
         # shuffle the whole graph before the empty broadcast kills it
         return spark.createDataFrame([], "inst string, c1 string, c2 string")
     m = F.broadcast(_pairs(spark, pairs, "c1", "c2"))
-    types = triples.filter(F.col("p") == vocab.TYPE).select(
-        F.col("s").alias("inst"), F.col("o").alias("cls")
-    )
+    # the axiom classes are driver-known: pre-filter TYPES down to instances of
+    # *those* classes before the (inst) self-join — otherwise an instance with
+    # k types yields k² join rows over the whole graph before the pair filter
+    # (scale-killer; filter below the join can't be pushed by Catalyst because
+    # the pair values live in the joined frame)
+    axiom_classes = sorted({c for pr in pairs for c in pr})
+    types = triples.filter(
+        (F.col("p") == vocab.TYPE) & F.col("o").isin(axiom_classes)
+    ).select(F.col("s").alias("inst"), F.col("o").alias("cls"))
     return (
         types.alias("a")
         .join(types.alias("b"), "inst")
@@ -80,7 +86,11 @@ def check_disjoint_properties(triples: DataFrame, tbox: TBoxIndex) -> DataFrame:
     if not tbox.disjoint_props:
         return spark.createDataFrame([], "s string, p1 string, p2 string, o string")
     m = F.broadcast(_pairs(spark, tbox.disjoint_props, "p1", "p2"))
-    t = triples.select("s", "p", "o")
+    # pre-filter to the (driver-known) disjoint predicates before the (s,o)
+    # self-join — the unfiltered version shuffles the ENTIRE graph on (s,o)
+    # whenever any propertyDisjointWith axiom exists
+    axiom_props = sorted({p for pr in tbox.disjoint_props for p in pr})
+    t = triples.filter(F.col("p").isin(axiom_props)).select("s", "p", "o")
     return (
         t.alias("a")
         .join(t.alias("b"), ["s", "o"])

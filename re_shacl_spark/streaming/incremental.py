@@ -59,7 +59,19 @@ def run_incremental(
     entity_classes: dict[str, str] | None = None,
 ) -> int:
     """Drain all currently-unseen page files into the triple store (append),
-    exactly once, then stop.  Returns rows written this invocation."""
+    exactly once, then stop.  Returns TRIPLE ROWS WRITTEN this invocation,
+    measured as the sink row-count delta (the parquet sink reports -1 output
+    rows per progress event, and ``recentProgress`` retains only ~100 recent
+    batches, so summing progress numInputRows both mislabels pages as triples
+    and undercounts long drains)."""
+
+    def sink_rows() -> int:
+        try:
+            return spark.read.parquet(out_dir).count()
+        except Exception:  # sink dir not created yet on first invocation
+            return 0
+
+    before = sink_rows()
     stream = triple_stream(read_page_stream(spark, pages_dir), alias_rows, entity_classes)
     q = (
         stream.writeStream.format("parquet")
@@ -70,5 +82,4 @@ def run_incremental(
         .start()
     )
     q.awaitTermination()
-    # the parquet sink reports -1 output rows; input-row counts are reliable
-    return sum(max(0, int(p.get("numInputRows", 0) or 0)) for p in q.recentProgress)
+    return sink_rows() - before

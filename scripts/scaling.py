@@ -79,7 +79,8 @@ def main() -> None:
 
     r8 = best_of(args.n_cores)
     r32 = best_of(args.xn_cores)
-    eff = (r32["triples_per_sec"] / r8["triples_per_sec"]) / 4.0
+    core_ratio = args.xn_cores / args.n_cores
+    eff = (r32["triples_per_sec"] / r8["triples_per_sec"]) / core_ratio
     result = {
         "pages": args.pages,
         "N_cores": args.n_cores,

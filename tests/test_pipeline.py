@@ -221,3 +221,26 @@ def test_sameas_merge_of_tbox_terms_rebuilds_index(spark):
     assert (X + "A0", "http://www.w3.org/2000/01/rdf-schema#subClassOf", X + "Base") in triples
     # qprop merged INTO b0; its subproperty axiom must follow
     assert (X + "x", X + "super", X + "y") in triples
+
+
+def test_sameas_merge_into_tbox_term_rederives(spark):
+    """Rep-side gate (ADVICE r1): when a NON-TBox IRI merges INTO a TBox term
+    (the rep IS the TBox term, lexicographic min), the rewrite lands rows on
+    that term only in the accumulated graph, never in the delta — delta-fed
+    linear rules must be re-run over the full graph or the closure is silently
+    incomplete."""
+    ttl = """
+    @prefix : <http://x.org/> .
+    @prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+    @prefix owl: <http://www.w3.org/2002/07/owl#> .
+    :a_p rdfs:domain :C .
+    :x :z_q :y .
+    :z_q owl:sameAs :a_p .
+    """
+    res = _fuse_and_compare(spark, parse_ttl(ttl))
+    triples = {(r.s, r.p, r.o) for r in res.triples.collect()}
+    X = "http://x.org/"
+    # z_q merged INTO a_p (min IRI = the TBox term) → domain rule must fire
+    # on the rewritten (x, a_p, y) row
+    assert (X + "x", X + "a_p", X + "y") in triples
+    assert (X + "x", vocab.TYPE, X + "C") in triples
