@@ -52,6 +52,7 @@ _PC_SCHEMA = T.StructType(
         T.StructField("has_value", T.StringType()),
         T.StructField("negated", T.BooleanType()),
         T.StructField("branch_idx", T.IntegerType()),  # null = base row; >=0 = or-branch
+        T.StructField("is_not", T.BooleanType()),  # node-level sh:not property shape
     ]
 )
 
@@ -67,15 +68,18 @@ def _pc_rows(shapes: list[NodeShape]) -> list[tuple]:
     rows: list[tuple] = []
     pc_id = 0
     for ns in shapes:
-        pcs = list(ns.properties)
+        pcs = [(pc, False) for pc in ns.properties]
         if ns.self_constraint:
-            pcs.append(ns.self_constraint)
-        for pc in pcs:
+            pcs.append((ns.self_constraint, False))
+        # node-level sh:not property shapes ride the same grid, flagged: the
+        # focus violates iff the inner shape CONFORMS (counts + all values)
+        pcs += [(pc, True) for pc in ns.not_properties]
+        for pc, is_not in pcs:
             rows.append(
                 (
                     pc_id, ns.shape_id, pc.path, pc.min_count, pc.max_count,
                     pc.clazz, pc.datatype, pc.node_kind, pc.node_ref,
-                    pc.in_values, pc.has_value, pc.negated, None,
+                    pc.in_values, pc.has_value, pc.negated, None, is_not,
                 )
             )
             for bi, b in enumerate(pc.or_branches):
@@ -83,7 +87,7 @@ def _pc_rows(shapes: list[NodeShape]) -> list[tuple]:
                     (
                         pc_id, ns.shape_id, pc.path, None, None,
                         b.clazz, b.datatype, b.node_kind, b.node_ref,
-                        b.in_values, b.has_value, b.negated, bi,
+                        b.in_values, b.has_value, b.negated, bi, is_not,
                     )
                 )
             pc_id += 1
@@ -164,6 +168,7 @@ def validate(
     shapes: list[NodeShape],
     tbox: TBoxIndex | None = None,
     max_ref_depth: int | None = None,
+    _ref_sets: dict[str, DataFrame] | None = None,
 ) -> ValidationReport:
     pc_rows = _pc_rows(shapes)
     if not pc_rows:
@@ -215,8 +220,17 @@ def validate(
 
     # sh:node conforming sets: iterate to fixpoint (optimistic start)
     ref_shapes = sorted({r[8] for r in pc_rows if r[8]})
-    if ref_shapes:
-        depth = max_ref_depth if max_ref_depth is not None else max(3, len(shapes))
+    if ref_shapes and _ref_sets is not None:
+        # inner call from _resolve_node_refs: refs resolve against the
+        # PREVIOUS sweep's conforming sets (no fresh recursion — this is what
+        # makes refinement actually deepen past two reference hops)
+        g = _join_ref_sets(g, _ref_sets)
+    elif ref_shapes:
+        # depth = the REAL shape-reference DAG depth (LUBM chains are ≤4 deep;
+        # the old max(3, len(shapes)) bound scheduled up to 30 refinement
+        # sweeps on Shape_30 for nothing).  Cycles fall back to a fixpoint
+        # bound — each sweep can only shrink the conforming sets.
+        depth = max_ref_depth if max_ref_depth is not None else _ref_dag_depth(shapes)
         g = _resolve_node_refs(spark, triples, shapes, tbox, g, ref_shapes, depth)
     else:
         g = g.withColumn("_ref_ok", F.lit(True))
@@ -245,8 +259,10 @@ def validate(
         ).alias("has_v"),
     )
     agg = agg.join(
-        base_pcs.select("pc_id", "path", "min_count", "max_count", "has_value"), "pc_id"
+        base_pcs.select("pc_id", "path", "min_count", "max_count", "has_value", "is_not"),
+        "pc_id",
     )
+    pos = ~F.coalesce(F.col("is_not"), F.lit(False))
 
     mk = lambda cond, constraint, value: agg.filter(cond).select(  # noqa: E731
         F.col("focus"),
@@ -255,12 +271,22 @@ def validate(
         F.lit(constraint).alias("constraint"),
         value.cast("string").alias("value"),
     )
-    v_min = mk(F.col("min_count").isNotNull() & (F.col("cnt") < F.col("min_count")), "minCount", F.col("cnt"))
-    v_max = mk(F.col("max_count").isNotNull() & (F.col("cnt") > F.col("max_count")), "maxCount", F.col("cnt"))
-    v_hv = mk(F.col("has_value").isNotNull() & (~F.coalesce(F.col("has_v"), F.lit(False))), "hasValue", F.col("has_value"))
+    v_min = mk(pos & F.col("min_count").isNotNull() & (F.col("cnt") < F.col("min_count")), "minCount", F.col("cnt"))
+    v_max = mk(pos & F.col("max_count").isNotNull() & (F.col("cnt") > F.col("max_count")), "maxCount", F.col("cnt"))
+    v_hv = mk(pos & F.col("has_value").isNotNull() & (~F.coalesce(F.col("has_v"), F.lit(False))), "hasValue", F.col("has_value"))
+    # node-level sh:not: violation iff the inner property shape CONFORMS —
+    # count bounds satisfied, every value conforms, hasValue present
+    inner_ok = (
+        (F.col("min_count").isNull() | (F.col("cnt") >= F.col("min_count")))
+        & (F.col("max_count").isNull() | (F.col("cnt") <= F.col("max_count")))
+        & (F.col("bad_vals") == 0)
+        & (F.col("has_value").isNull() | F.coalesce(F.col("has_v"), F.lit(False)))
+    )
+    v_not = mk(~pos & inner_ok, "not", F.col("cnt"))
     v_vals = (
         collapsed.filter(~F.col("_vconf"))
-        .join(base_pcs.select("pc_id", "path"), "pc_id")
+        .join(base_pcs.select("pc_id", "path", "is_not"), "pc_id")
+        .filter(~F.coalesce(F.col("is_not"), F.lit(False)))
         .select(
             "focus",
             F.col("shape_id").alias("shape"),
@@ -269,9 +295,51 @@ def validate(
             F.col("o").cast("string").alias("value"),
         )
     )
-    violations = v_min.unionByName(v_max).unionByName(v_hv).unionByName(v_vals)
+    violations = v_min.unionByName(v_max).unionByName(v_hv).unionByName(v_not).unionByName(v_vals)
     violations = violations.localCheckpoint(eager=True)
     return ValidationReport(violations, violations.isEmpty(), len(shapes))
+
+
+def _all_pcs(ns: NodeShape) -> list[PropertyConstraint]:
+    out = list(ns.properties) + list(ns.not_properties)
+    if ns.self_constraint:
+        out.append(ns.self_constraint)
+    return out
+
+
+def _ref_dag_depth(shapes: list[NodeShape]) -> int:
+    """Longest sh:node reference chain (in shapes), measured in refinement
+    sweeps needed; cyclic graphs get len(shapes)+1 (downward-converging
+    fixpoint bound)."""
+    by_id = {s.shape_id: s for s in shapes}
+    edges: dict[str, set[str]] = {}
+    for s in shapes:
+        refs = set()
+        for pc in _all_pcs(s):
+            if pc.node_ref and pc.node_ref in by_id:
+                refs.add(pc.node_ref)
+            for b in pc.or_branches:
+                if b.node_ref and b.node_ref in by_id:
+                    refs.add(b.node_ref)
+        edges[s.shape_id] = refs
+    memo: dict[str, int] = {}
+    onstack: set[str] = set()
+
+    def depth(sid: str) -> int:
+        if sid in memo:
+            return memo[sid]
+        if sid in onstack:
+            raise RecursionError  # cycle
+        onstack.add(sid)
+        d = 1 + max((depth(r) for r in edges.get(sid, ())), default=0)
+        onstack.discard(sid)
+        memo[sid] = d
+        return d
+
+    try:
+        return max((depth(s) for s in edges), default=1)
+    except RecursionError:
+        return len(shapes) + 1
 
 
 def _resolve_node_refs(
@@ -283,41 +351,69 @@ def _resolve_node_refs(
     ref_shapes: list[str],
     depth: int,
 ) -> DataFrame:
-    """Compute conforming-node sets for referenced shapes by re-running the flat
-    validator with node_refs stubbed optimistically, then refining ``depth``
-    times.  Shape graphs are shallow (LUBM depth ≤ 3); cycles converge because
-    each iteration can only shrink conforming sets."""
+    """Compute conforming-node sets for referenced shapes by iterated
+    refinement: sweep k validates each referenced shape with ITS refs resolved
+    against sweep k-1's conforming sets (sweep 1: refs vacuous — the
+    optimistic start).  Each sweep can only shrink the sets, so cyclic shape
+    graphs converge downward; acyclic graphs are exact after ``depth`` sweeps
+    (the reference DAG depth).  A shape's set is computed over its own
+    targets, so this is target-scoped conformance (SURVEY §2.9)."""
     by_id = {s.shape_id: s for s in shapes}
+    resolvable = [sid for sid in ref_shapes if sid in by_id]
 
-    def strip_refs(ns: NodeShape) -> NodeShape:
-        import copy
+    def refs_of(sid: str) -> list[str]:
+        out = []
+        for pc in _all_pcs(by_id[sid]):
+            for x in [pc] + pc.or_branches:
+                if x.node_ref and x.node_ref in by_id:
+                    out.append(x.node_ref)
+        return out
 
-        c = copy.deepcopy(ns)
-        for pc in c.properties + ([c.self_constraint] if c.self_constraint else []):
-            pc.node_ref = None
-            for b in pc.or_branches:
-                b.node_ref = None
-        return c
+    def conforming_set(sid: str, ref_sets: dict[str, DataFrame]) -> DataFrame:
+        # conformance against ALL nodes typed with the shape's target class
+        # (sh:node checks membership of the value in the conforming set)
+        rep = validate(spark, triples, [by_id[sid]], tbox, _ref_sets=ref_sets)
+        bad = rep.violations.select(F.col("focus").alias("node")).distinct()
+        tgt = _targets(spark, triples, [by_id[sid]], tbox).select(F.col("focus").alias("node"))
+        return tgt.join(bad, "node", "left_anti").localCheckpoint(eager=True)
 
-    # iteration 0: validate referenced shapes without their own refs
+    # acyclic (the committed workloads): resolve in dependency order, each
+    # referenced shape validated exactly once with its deps already final
+    order: list[str] = []
+    seen: dict[str, int] = {}  # 0 = on stack, 1 = done
+
+    def topo(sid: str) -> bool:
+        if seen.get(sid) == 1:
+            return True
+        if seen.get(sid) == 0:
+            return False  # cycle
+        seen[sid] = 0
+        for r in refs_of(sid):
+            if not topo(r):
+                return False
+        seen[sid] = 1
+        order.append(sid)
+        return True
+
+    acyclic = all(topo(sid) for sid in resolvable)
     conforming: dict[str, DataFrame] = {}
-    current = {sid: strip_refs(by_id[sid]) for sid in ref_shapes if sid in by_id}
-    for _ in range(max(1, depth)):
-        nxt: dict[str, DataFrame] = {}
-        for sid, ns in current.items():
-            # conformance against ALL nodes typed with the shape's target class
-            # (sh:node checks membership of the value in the conforming set)
-            rep = validate(spark, triples, [by_id[sid] if sid in conforming else ns], tbox, max_ref_depth=0)
-            bad = rep.violations.select(F.col("focus").alias("node")).distinct()
-            tgt = _targets(spark, triples, [by_id[sid]], tbox).select(F.col("focus").alias("node"))
-            nxt[sid] = tgt.join(bad, "node", "left_anti").localCheckpoint(eager=True)
-        conforming = nxt
-        current = {sid: by_id[sid] for sid in current}  # full shapes from round 2
-        if depth <= 1:
-            break
-        depth -= 1
+    if acyclic:
+        for sid in order:
+            conforming[sid] = conforming_set(sid, conforming)
+    else:
+        # cyclic shape graph: optimistic start, sweep to downward fixpoint
+        for _ in range(max(1, depth)):
+            conforming = {sid: conforming_set(sid, conforming) for sid in resolvable}
 
-    # union conforming sets labeled by shape id, left-join onto the grid
+    return _join_ref_sets(g, conforming)
+
+
+def _join_ref_sets(g: DataFrame, conforming: dict[str, DataFrame]) -> DataFrame:
+    """Left-join the labeled conforming sets onto the grid → _ref_ok.  Refs to
+    shapes with no NodeShape declaration (schema2/3's `sh:node ub:Course` /
+    `ub:GraduateCourse`) are vacuously conforming — an empty shape constrains
+    nothing (pyshacl parity)."""
+    known = sorted(conforming)
     parts = [
         df.select(F.lit(sid).alias("_ref_shape"), F.col("node").alias("_ref_node"))
         for sid, df in conforming.items()
@@ -334,7 +430,9 @@ def _resolve_node_refs(
     )
     g = g.withColumn(
         "_ref_ok",
-        F.when(F.col("node_ref").isNull(), F.lit(True)).otherwise(F.col("_ref_node").isNotNull()),
+        F.when(
+            F.col("node_ref").isNull() | ~F.col("node_ref").isin(known), F.lit(True)
+        ).otherwise(F.col("_ref_node").isNotNull()),
     ).drop("_ref_shape", "_ref_node")
     return g
 

@@ -56,6 +56,10 @@ class NodeShape:
     properties: list[PropertyConstraint] = field(default_factory=list)
     # node-level constraints attached directly to the shape (sh:class etc.)
     self_constraint: PropertyConstraint | None = None
+    # node-level sh:not wrapping a PROPERTY shape (lubm/schema2.ttl:102-106:
+    # `sh:not [sh:path ...; sh:minCount 1; sh:node ...]`): the focus violates
+    # iff it CONFORMS to the inner property shape
+    not_properties: list[PropertyConstraint] = field(default_factory=list)
 
 
 def _collect_list(pox: dict, head: str) -> list[str]:
@@ -144,6 +148,13 @@ def compile_shapes(shape_triples: list[tuple]) -> list[NodeShape]:
             pc = _compile_property(pnode, pox)
             if pc.path:
                 ns.properties.append(pc)
+        # node-level sh:not over a property shape (schema2's publicationAuthor
+        # pattern); path-less node-level sh:not folds into the self constraint
+        # via _compile_property(sid) below (negated flag)
+        for nnode in po.get(SH + "not", []):
+            inner = _compile_property(nnode, pox)
+            if inner.path:
+                ns.not_properties.append(inner)
         self_pc = _compile_property(sid, pox)
         self_pc.path = None
         if self_pc.has_value_constraints():
@@ -185,6 +196,7 @@ def rewrite_shapes(shapes: list[NodeShape], node_rep: dict[str, str], class_rep:
                 implicit_class_target=ns.implicit_class_target,
                 properties=[rw_pc(pc) for pc in ns.properties],
                 self_constraint=rw_pc(ns.self_constraint) if ns.self_constraint else None,
+                not_properties=[rw_pc(pc) for pc in ns.not_properties],
             )
         )
     return out
