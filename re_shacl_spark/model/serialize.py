@@ -1,0 +1,108 @@
+"""Graph serializer sink (S4): distributed N-Triples export + re-import.
+
+The reference writes fused graphs back to turtle via rdflib
+(/root/reference/run_experiment.py:69,120 ``g.serialize``) — a driver-bound
+step.  The Spark-native equivalent emits N-Triples (a line-oriented subset of
+Turtle, so every .nt file is valid .ttl): each partition serializes its rows
+independently with pure column expressions (no Python in the loop) and writes
+a part file; re-import is a distributed regex parse of the same grammar.
+Round-trip fidelity (incl. bnodes via isomorphism and literal datatype/lang
+tags) is pinned by tests/test_serialize.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from re_shacl_spark.model.triples import O_LIT_TYPE
+
+_SENTINEL = "\x00"
+
+
+def _esc(col: F.Column) -> F.Column:
+    """N-Triples string escaping: backslash first, then quote/newline/CR/tab."""
+    c = F.regexp_replace(col, r"\\", r"\\\\")
+    c = F.regexp_replace(c, '"', r'\\"')
+    c = F.regexp_replace(c, "\n", r"\\n")
+    c = F.regexp_replace(c, "\r", r"\\r")
+    return F.regexp_replace(c, "\t", r"\\t")
+
+
+def _unesc(col: F.Column) -> F.Column:
+    """Inverse of _esc — double-backslash routed through a sentinel so \\\\n
+    does not decode as newline."""
+    c = F.regexp_replace(col, r"\\\\", _SENTINEL)
+    c = F.regexp_replace(c, r'\\"', '"')
+    c = F.regexp_replace(c, r"\\n", "\n")
+    c = F.regexp_replace(c, r"\\r", "\r")
+    c = F.regexp_replace(c, r"\\t", "\t")
+    return F.regexp_replace(c, _SENTINEL, r"\\")
+
+
+def _term(col: F.Column) -> F.Column:
+    """IRI → <iri>; bnode ids (``_:`` prefix) pass through unwrapped."""
+    return F.when(col.startswith("_:"), col).otherwise(F.concat(F.lit("<"), col, F.lit(">")))
+
+
+XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+
+
+def ntriples_lines(triples: DataFrame) -> DataFrame:
+    """One serialized line per triple — pure column algebra, fully parallel."""
+    lex = _esc(F.col("o_lit.lex"))
+    lit = F.concat(
+        F.lit('"'), lex, F.lit('"'),
+        F.when(F.col("o_lit.lang").isNotNull(), F.concat(F.lit("@"), F.col("o_lit.lang")))
+        .when(
+            # xsd:string kept explicit so dtype round-trips EXACTLY (a struct
+            # with dtype=null and one with xsd:string are different rows to
+            # the engine even though SHACL treats them alike)
+            F.col("o_lit.dtype").isNotNull(),
+            F.concat(F.lit("^^<"), F.col("o_lit.dtype"), F.lit(">")),
+        )
+        .otherwise(F.lit("")),
+    )
+    obj = F.when(F.col("is_lit"), lit).otherwise(_term(F.col("o")))
+    return triples.select(
+        F.concat_ws(" ", _term(F.col("s")), _term(F.col("p")), obj, F.lit(".")).alias("line")
+    )
+
+
+def write_ntriples(triples: DataFrame, path: str) -> None:
+    """Graph sink: one part file per partition (at corpus scale this is the
+    only shape an export can take — a single driver-side file is not)."""
+    ntriples_lines(triples).write.mode("overwrite").text(path)
+
+
+_LINE_RE = r"^(<[^>]*>|_:\S+)\s+(<[^>]*>)\s+(.*?)\s*\.\s*$"
+_LIT_RE = r'^"(.*)"(?:@([A-Za-z0-9-]+)|\^\^<([^>]*)>)?$'
+
+
+def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed N-Triples source: regex extraction per line, engine triple
+    layout out.  The driver-side turtle parser (model/ttl.py) stays for
+    prefix-laden shape graphs; THIS is the corpus-scale load path."""
+    raw = spark.read.text(path).filter(F.trim("value") != "")
+    s = F.regexp_extract("value", _LINE_RE, 1)
+    p = F.regexp_extract("value", _LINE_RE, 2)
+    onode = F.regexp_extract("value", _LINE_RE, 3)
+    # strip <> from IRIs (bnodes pass through)
+    de_iri = lambda c: F.when(  # noqa: E731
+        c.startswith("<"), c.substr(F.lit(2), F.length(c) - 2)
+    ).otherwise(c)
+    is_lit = onode.startswith('"')
+    lex = _unesc(F.regexp_extract(onode, _LIT_RE, 1))
+    lang = F.nullif(F.regexp_extract(onode, _LIT_RE, 2), F.lit(""))
+    dtype_raw = F.nullif(F.regexp_extract(onode, _LIT_RE, 3), F.lit(""))
+    dtype = F.when(lang.isNotNull(), F.lit(None).cast("string")).otherwise(dtype_raw)
+    return raw.select(
+        de_iri(s).alias("s"),
+        de_iri(p).alias("p"),
+        F.when(is_lit, lex).otherwise(de_iri(onode)).alias("o"),
+        F.when(is_lit, F.struct(lex.alias("lex"), dtype.alias("dtype"), lang.alias("lang")))
+        .otherwise(F.lit(None).cast(O_LIT_TYPE))
+        .alias("o_lit"),
+        is_lit.alias("is_lit"),
+        F.lit(None).cast("string").alias("src_url"),
+    )

@@ -79,6 +79,7 @@ def fuse(
     max_rounds: int = MAX_ROUNDS,
     cc_salts: int = 8,
     assume_distinct: bool = False,
+    profile: str = "owl",
 ) -> FusionResult:
     """Scoped reasoning + sameAs canonicalization to fixpoint.
 
@@ -87,9 +88,10 @@ def fuse(
     reference does at re_shacl.py:734-737.
     """
     ensure_fixpoint_confs(spark)
+    rdfs = profile == "rdfs"
     tbox_rows = extract_tbox(triples)
-    tbox = build_tbox_index(tbox_rows)
-    engine = RuleEngine(spark, tbox, scope or Scope.unrestricted())
+    tbox = build_tbox_index(tbox_rows, rdfs_mode=rdfs)
+    engine = RuleEngine(spark, tbox, scope or Scope.unrestricted(), profile=profile)
 
     # TBox-level equivalence collapse first (class + property reps) — the
     # reference's merge_target_classes / merge_same_property stages.
@@ -195,8 +197,8 @@ def fuse(
                         # a merge renamed a TBox term: rebuild the closed maps
                         # from the rewritten graph and re-derive from scratch
                         tbox_rows = extract_tbox(cur)
-                        tbox = build_tbox_index(tbox_rows)
-                        engine = RuleEngine(spark, tbox, scope or Scope.unrestricted())
+                        tbox = build_tbox_index(tbox_rows, rdfs_mode=rdfs)
+                        engine = RuleEngine(spark, tbox, scope or Scope.unrestricted(), profile=profile)
                         trans_props = sorted(tbox.transitive)
                         tbox_terms = sorted({t for row in tbox_rows for t in row})
                         # merges may have created fresh class/property
@@ -231,3 +233,121 @@ def fuse(
 
     counts = run_all_checks(cur, tbox) if run_checks else {}
     return FusionResult(triples=cur, rep_map=rep_map, tbox=tbox, rounds=rounds, check_counts=counts)
+
+
+# ---------------------------------------------------------------------------
+# expansion-only ablation (reference: re_shacl_withoutM.py:635-788
+# ``inferenced_graph``): sameAs COPIES triples across members instead of
+# merging them — the baseline Re-SHACL's merge strategy is measured against.
+# Confluence (expand-then-quotient ≡ merge-during-reasoning) is asserted by
+# tests/test_pipeline.py against the naive expansion oracle.
+# ---------------------------------------------------------------------------
+
+def _sameas_member_pairs(rep_map: DataFrame) -> DataFrame:
+    """(m, w) for every ordered member pair — including the diagonal — of each
+    sameAs component.  Σk² rows; this quadratic frame IS the ablation's cost."""
+    inv = rep_map.unionByName(
+        rep_map.select(F.col("rep").alias("member"), "rep")
+    ).dropDuplicates(["member", "rep"])
+    return (
+        inv.alias("x")
+        .join(inv.alias("y"), "rep")
+        .select(F.col("x.member").alias("m"), F.col("y.member").alias("w"))
+    )
+
+
+def expand_sameas(triples: DataFrame, rep_map: DataFrame) -> DataFrame:
+    """σ⁻¹(σ(G)) over s/p/o: every triple copied onto every member combination
+    of its nodes' components (re_shacl_withoutM.py copies one hop per round;
+    the pair-join closes a whole component per round)."""
+    pairs = F.broadcast(_sameas_member_pairs(rep_map))  # ablation runs at test scale
+
+    def fan(df: DataFrame, col: str, literal_guard: bool) -> DataFrame:
+        m = pairs.select(F.col("m").alias(f"_{col}_m"), F.col("w").alias(f"_{col}_w"))
+        cond = df[col] == m[f"_{col}_m"]
+        if literal_guard:
+            cond = cond & ~df["is_lit"]
+        out = df.join(m, cond, "left")
+        return out.withColumn(col, F.coalesce(f"_{col}_w", col)).drop(f"_{col}_m", f"_{col}_w")
+
+    out = fan(triples, "s", False)
+    out = fan(out, "o", True)
+    out = fan(out, "p", False)
+    return out
+
+
+def fuse_expand(
+    spark: SparkSession,
+    triples: DataFrame,
+    max_rounds: int = MAX_ROUNDS,
+    cc_salts: int = 8,
+) -> FusionResult:
+    """Expansion-semantics fixpoint: rules + sameAs materialization + component
+    copy-through, no canonicalization.  The final graph equals the naive
+    oracle's pre-quotient closure; its size blowup vs fuse() is the A1-style
+    ablation metric (merging beats materialization)."""
+    ensure_fixpoint_confs(spark)
+    cur = dedup_triples(triples).localCheckpoint(eager=True)
+    rep_map: DataFrame | None = None
+    tbox = None
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
+        # rebuild per round: expansion copies axioms onto new terms
+        tbox_rows = extract_tbox(cur)
+        tbox = build_tbox_index(tbox_rows, eq_as_edges=True)
+        engine = RuleEngine(spark, tbox, Scope.unrestricted())
+
+        derived = engine.derive_all(cur)
+        closure_rows = [
+            (a, vocab.SUBCLASS, b) for a, b in tbox.subclass_closure_pairs()
+        ] + [(a, vocab.SUBPROP, b) for a, b in tbox.subprop_closure_pairs()]
+        # equivalence cycles entail the REFLEXIVE a⊑a rows too (scm-sco through
+        # the cycle); the merge path drops them as degenerate, expansion keeps
+        # them like the naive closure does
+        sc, sp = tbox.superclasses, tbox.superprops
+        closure_rows += [
+            (a, vocab.SUBCLASS, a) for a, sups in sc.items()
+            if any(a in sc.get(b, ()) for b in sups)
+        ] + [
+            (a, vocab.SUBPROP, a) for a, sups in sp.items()
+            if any(a in sp.get(b, ()) for b in sups)
+        ]
+        if closure_rows:
+            derived = derived.unionByName(
+                spark.createDataFrame(closure_rows, ["s", "p", "o"]).select(
+                    "s", "p", "o",
+                    F.lit(None).cast("struct<lex:string,dtype:string,lang:string>").alias("o_lit"),
+                    F.lit(False).alias("is_lit"),
+                    F.lit(None).cast("string").alias("src_url"),
+                )
+            )
+
+        edges = engine.derive_sameas(cur)
+        if not edges.isEmpty():
+            reps = connected_components(edges, n_salts=cc_salts)
+            if not reps.isEmpty():
+                rep_map = reps.localCheckpoint(eager=True)
+                pairs = _sameas_member_pairs(rep_map)
+                # the complete sameAs graph on each component (incl. diagonal)
+                sameas_rows = pairs.select(
+                    F.col("m").alias("s"),
+                    F.lit(vocab.SAMEAS).alias("p"),
+                    F.col("w").alias("o"),
+                    F.lit(None).cast("struct<lex:string,dtype:string,lang:string>").alias("o_lit"),
+                    F.lit(False).alias("is_lit"),
+                    F.lit(None).cast("string").alias("src_url"),
+                )
+                derived = derived.unionByName(expand_sameas(cur, rep_map)).unionByName(sameas_rows)
+
+        new = (
+            derived.dropDuplicates(["s", "p", "o"])
+            .join(cur, ["s", "p", "o"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if new.isEmpty():
+            break
+        cur = cur.unionByName(new)
+
+    if rep_map is None:
+        rep_map = spark.createDataFrame([], "member string, rep string")
+    return FusionResult(triples=cur, rep_map=rep_map, tbox=tbox, rounds=rounds, check_counts={})

@@ -59,6 +59,11 @@ class RuleEngine:
     spark: SparkSession
     tbox: TBoxIndex
     scope: Scope = field(default_factory=Scope.unrestricted)
+    # "owl" = full merge-then-reason profile; "rdfs" = the reference's RDFS
+    # variant (ReSHACL/re_shacl_rdfs.py; rule subset rdfs2/3/7/9 at
+    # re_shacl_rdfs_withoutM.py:127-145): domain/range/subclass/subproperty
+    # only — no sameAs merging, no inverse/symmetric/transitive closure
+    profile: str = "owl"
 
     # -- scope filters ----------------------------------------------------------
     def _keep_cls(self, c: str) -> bool:
@@ -322,9 +327,12 @@ class RuleEngine:
             self.rule_range(triples),
             self.rule_subproperty(triples),
             self.rule_subclass(triples),
-            self.rule_inverse(triples),
-            self.rule_symmetric(triples),
         ]
+        if self.profile != "rdfs":
+            parts += [
+                self.rule_inverse(triples),
+                self.rule_symmetric(triples),
+            ]
         out = parts[0]
         for x in parts[1:]:
             out = out.unionByName(x)
@@ -335,6 +343,8 @@ class RuleEngine:
         return self.derive_linear(triples).unionByName(self.rule_transitive(triples))
 
     def derive_sameas(self, triples: DataFrame) -> DataFrame:
+        if self.profile == "rdfs":  # owl:sameAs is uninterpreted under RDFS
+            return self.spark.createDataFrame([], "a string, b string")
         return (
             self.explicit_sameas(triples)
             .union(self.sameas_functional(triples))

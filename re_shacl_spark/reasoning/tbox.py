@@ -154,13 +154,26 @@ def extract_tbox(triples: DataFrame) -> list[tuple[str, str, str]]:
     return [(r.s, r.p, r.o) for r in rows]
 
 
-def build_tbox_index(tbox_triples: list[tuple[str, str, str]]) -> TBoxIndex:
+def build_tbox_index(
+    tbox_triples: list[tuple[str, str, str]],
+    rdfs_mode: bool = False,
+    eq_as_edges: bool = False,
+) -> TBoxIndex:
     """Close the TBox: equivalence components, subclass/subproperty transitive
     closures, domain/range inheritance, characteristics union across equivalents.
 
     Rule coverage (reference sites): scm-eqc/eqp components (re_shacl.py:428-473,
     511-554), scm-sco/spo closures (class_merging.py:109-131,
     property_closure.py:7-26), scm-dom2/rng2 (re_shacl.py:499-503).
+
+    ``eq_as_edges`` keeps OWL characteristics but renders equivalence as
+    mutual sub-edges (no representative merging) — the expansion-only ablation
+    (re_shacl_withoutM.py:635-788) needs exactly this view.
+
+    ``rdfs_mode`` mirrors the reference's RDFS-profile engine
+    (ReSHACL/re_shacl_rdfs.py:157-168): equivalence becomes MUTUAL
+    subclass/subproperty edges instead of representative merging, and the OWL
+    characteristic/inverse/disjoint axioms are left uninterpreted.
     """
     idx = TBoxIndex()
 
@@ -174,9 +187,19 @@ def build_tbox_index(tbox_triples: list[tuple[str, str, str]]) -> TBoxIndex:
 
     for s, p, o in tbox_triples:
         if p == vocab.EQCLASS:
-            cls_uf.union(s, o)
+            if rdfs_mode or eq_as_edges:  # scm-eqc as mutual subclass, no merging
+                if s != o:
+                    sub_cls[s].add(o)
+                    sub_cls[o].add(s)
+            else:
+                cls_uf.union(s, o)
         elif p == vocab.EQPROP:
-            prop_uf.union(s, o)
+            if rdfs_mode or eq_as_edges:
+                if s != o:
+                    sub_prop[s].add(o)
+                    sub_prop[o].add(s)
+            else:
+                prop_uf.union(s, o)
         elif p == vocab.SUBCLASS:
             if s != o:
                 sub_cls[s].add(o)
@@ -199,14 +222,16 @@ def build_tbox_index(tbox_triples: list[tuple[str, str, str]]) -> TBoxIndex:
             char[o].add(s)
 
     # mutual subclass (c <-> d) is equivalence (scm-eqc2); fold into components
-    for c, sups in sub_cls.items():
-        for d in sups:
-            if c in sub_cls.get(d, ()):
-                cls_uf.union(c, d)
-    for c, sups in sub_prop.items():
-        for d in sups:
-            if c in sub_prop.get(d, ()):
-                prop_uf.union(c, d)
+    # (OWL-merge profile only — RDFS/expansion keep cycles, types flow both ways)
+    if not (rdfs_mode or eq_as_edges):
+        for c, sups in sub_cls.items():
+            for d in sups:
+                if c in sub_cls.get(d, ()):
+                    cls_uf.union(c, d)
+        for c, sups in sub_prop.items():
+            for d in sups:
+                if c in sub_prop.get(d, ()):
+                    prop_uf.union(c, d)
 
     idx.class_rep = cls_uf.rep_map()
     idx.prop_rep = prop_uf.rep_map()
@@ -246,14 +271,20 @@ def build_tbox_index(tbox_triples: list[tuple[str, str, str]]) -> TBoxIndex:
         idx.inverses.setdefault(ca, set()).add(cb)
         idx.inverses.setdefault(cb, set()).add(ca)
 
-    idx.symmetric = {prep(x) for x in char.get(vocab.SYMMETRIC, ())}
-    idx.asymmetric = {prep(x) for x in char.get(vocab.ASYMMETRIC, ())}
-    idx.transitive = {prep(x) for x in char.get(vocab.TRANSITIVE, ())}
-    idx.functional = {prep(x) for x in char.get(vocab.FUNCTIONAL, ())}
-    idx.inverse_functional = {prep(x) for x in char.get(vocab.INVERSEFUNCTIONAL, ())}
-    idx.irreflexive = {prep(x) for x in char.get(vocab.IRREFLEXIVE, ())}
+    if not rdfs_mode:  # OWL characteristics are uninterpreted under RDFS
+        idx.symmetric = {prep(x) for x in char.get(vocab.SYMMETRIC, ())}
+        idx.asymmetric = {prep(x) for x in char.get(vocab.ASYMMETRIC, ())}
+        idx.transitive = {prep(x) for x in char.get(vocab.TRANSITIVE, ())}
+        idx.functional = {prep(x) for x in char.get(vocab.FUNCTIONAL, ())}
+        idx.inverse_functional = {prep(x) for x in char.get(vocab.INVERSEFUNCTIONAL, ())}
+        idx.irreflexive = {prep(x) for x in char.get(vocab.IRREFLEXIVE, ())}
 
     idx.disjoint_classes = {tuple(sorted((crep(a), crep(b)))) for a, b in idx.disjoint_classes}
     idx.disjoint_props = {tuple(sorted((prep(a), prep(b)))) for a, b in idx.disjoint_props}
     idx.complement = {tuple(sorted((crep(a), crep(b)))) for a, b in idx.complement}
+    if rdfs_mode:  # owl:inverseOf / disjointness are uninterpreted under RDFS
+        idx.inverses = {}
+        idx.disjoint_classes = set()
+        idx.disjoint_props = set()
+        idx.complement = set()
     return idx

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from re_shacl_spark.model.triples import triples_df, vocab
 from re_shacl_spark.model.ttl import parse_ttl_file, parse_ttl
-from re_shacl_spark.pipeline import fuse
+from re_shacl_spark.pipeline import fuse, fuse_expand
 from re_shacl_spark.reasoning.checks import FusionError
 
 from tests.naive_oracle import oracle_fuse
@@ -244,3 +244,106 @@ def test_sameas_merge_into_tbox_term_rederives(spark):
     # on the rewritten (x, a_p, y) row
     assert (X + "x", X + "a_p", X + "y") in triples
     assert (X + "x", vocab.TYPE, X + "C") in triples
+
+
+def _naive_rdfs_closure(rows):
+    """Independent RDFS-only oracle (rdfs2/3/7/9 + scm-sco/spo closure
+    materialization, equivalence as mutual sub-edges, everything else — sameAs,
+    inverse, symmetric, transitive, functional — uninterpreted), mirroring
+    /root/reference/ReSHACL/re_shacl_rdfs_withoutM.py:127-145."""
+    from collections import defaultdict
+
+    triples = {(s, p, o, is_lit) for (s, p, o, _ol, is_lit, _src) in rows}
+    subp, subc = defaultdict(set), defaultdict(set)
+    dom, rng = defaultdict(set), defaultdict(set)
+    for s, p, o, _ in triples:
+        if p == vocab.SUBPROP and s != o:
+            subp[s].add(o)
+        elif p == vocab.SUBCLASS and s != o:
+            subc[s].add(o)
+        elif p == vocab.EQPROP and s != o:
+            subp[s].add(o); subp[o].add(s)
+        elif p == vocab.EQCLASS and s != o:
+            subc[s].add(o); subc[o].add(s)
+        elif p == vocab.DOMAIN:
+            dom[s].add(o)
+        elif p == vocab.RANGE:
+            rng[s].add(o)
+
+    def close(edges):
+        out = defaultdict(set)
+        for a in list(edges):
+            stack, seen = [a], set()
+            while stack:
+                x = stack.pop()
+                for b in edges.get(x, ()):
+                    if b not in seen:
+                        seen.add(b); stack.append(b)
+            out[a] = seen - {a}
+        return out
+
+    subp_c, subc_c = close(subp), close(subc)
+    for a, bs in subp_c.items():
+        for b in bs:
+            triples.add((a, vocab.SUBPROP, b, False))
+    for a, bs in subc_c.items():
+        for b in bs:
+            triples.add((a, vocab.SUBCLASS, b, False))
+    # rdfs7 (prop edges up), then rdfs2/3, then rdfs9 — this order is a
+    # single-pass fixpoint for these linear rules
+    for s, p, o, is_lit in list(triples):
+        for q in subp_c.get(p, ()):
+            triples.add((s, q, o, is_lit))
+    for s, p, o, is_lit in list(triples):
+        for c in dom.get(p, ()):
+            triples.add((s, vocab.TYPE, c, False))
+        if not is_lit:
+            for c in rng.get(p, ()):
+                triples.add((o, vocab.TYPE, c, False))
+    for s, p, o, is_lit in list(triples):
+        if p == vocab.TYPE:
+            for d in subc_c.get(o, ()):
+                triples.add((s, vocab.TYPE, d, False))
+    return triples
+
+
+def test_rdfs_profile_parity_on_reference_fixture(spark):
+    rows = parse_ttl_file(TEST_TTL)
+    res = fuse(spark, triples_df(spark, rows), profile="rdfs")
+    got = {(r.s, r.p, r.o, r.is_lit) for r in res.triples.collect()}
+    want = _naive_rdfs_closure(rows)
+    missing, extra = want - got, got - want
+    assert not missing and not extra, f"missing={sorted(missing)[:8]} extra={sorted(extra)[:8]}"
+    # no merging happened: rep map empty, sameAs rows survive uninterpreted
+    assert res.rep_map.isEmpty()
+    ex = "http://example.org/"
+    assert (ex + "john", vocab.SAMEAS, ex + "jonathan", False) in got
+    # equivalence flows types both ways but renames nothing
+    assert res.tbox.class_rep == {}
+
+
+def test_expansion_ablation_matches_naive_preclosure(spark):
+    """fuse_expand (the withoutM ablation) must reproduce the naive oracle's
+    PRE-quotient expansion closure exactly, and its canonical projection must
+    equal merge-mode fuse() — the confluence claim merging relies on."""
+    from tests.naive_oracle import canonicalize as naive_canonicalize, naive_closure
+
+    rows = parse_ttl_file(TEST_TTL)
+    res = fuse_expand(spark, triples_df(spark, rows))
+    got = {(r.s, r.p, r.o, r.is_lit) for r in res.triples.collect()}
+    want = naive_closure({(s, p, o, L) for (s, p, o, _ol, L, _src) in rows})
+    missing, extra = want - got, got - want
+    assert not missing and not extra, f"missing={sorted(missing)[:8]} extra={sorted(extra)[:8]}"
+
+    # expansion strictly blows the graph up vs the merged form (A1 ablation)
+    merged = fuse(spark, triples_df(spark, rows), emit_sameas_provenance=False)
+    n_merged = merged.triples.count()
+    assert len(got) > n_merged
+
+    # confluence: quotient of the expanded graph == merged graph (sans sameAs)
+    proj, _ = naive_canonicalize(got)
+    proj = {t for t in proj if t[1] != vocab.SAMEAS}
+    merged_set = {
+        (r.s, r.p, r.o, r.is_lit) for r in merged.triples.collect() if r.p != vocab.SAMEAS
+    }
+    assert proj == merged_set
