@@ -35,6 +35,9 @@ HEADLINE = [
     "text_quality",
     "text_fingerprint",
     "rel_q1",
+    # the reference's headline workload: all 30 committed DBpedia shapes /
+    # 611 property shapes validated end-to-end in one pass
+    "v_shape30_report",
 ]
 
 
@@ -89,6 +92,25 @@ def main() -> None:
     except Exception:
         pass
 
+    # A1-style ablation metric: expansion-only (withoutM) size blowup vs the
+    # merged graph on a sameAs-rich slice — the reason merge-then-reason wins
+    expand_blowup = None
+    try:
+        from re_shacl_spark.pipeline import fuse, fuse_expand
+
+        t_ab = time.time()
+        g = kgbench.ablation_graph(spark, sf_dir)
+        merged_n = _force(fuse(spark, g, emit_sameas_provenance=False).triples)
+        expanded_n = _force(fuse_expand(spark, g).triples)
+        expand_blowup = {
+            "merged_triples": merged_n,
+            "expanded_triples": expanded_n,
+            "blowup": round(expanded_n / max(merged_n, 1), 3),
+            "sec": round(time.time() - t_ab, 2),
+        }
+    except Exception:
+        pass
+
     total = round(sum(per_q.values()), 3)
     print(
         json.dumps(
@@ -100,6 +122,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "triples_per_sec": triples_per_sec,
                 "fuse_stress_triples_per_sec": fuse_stress,
+                "expand_ablation": expand_blowup,
                 "rows": rows,
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
             }

@@ -133,13 +133,18 @@ def connected_components(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    e = e.localCheckpoint(eager=True)
 
     if driver_threshold > 0:
+        # probe BEFORE checkpointing: the driver path (the common
+        # entity-resolution case) then costs one job instead of two; only the
+        # distributed path pays the materialization it actually needs for its
+        # iterative rounds
         head = e.limit(driver_threshold + 1).collect()
         if len(head) <= driver_threshold:
             pairs = _driver_union_find([(r.u, r.v) for r in head])
             return spark.createDataFrame(pairs or [], "member string, rep string")
+
+    e = e.localCheckpoint(eager=True)
 
     prev = None
     for _ in range(max_rounds):

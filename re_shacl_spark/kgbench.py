@@ -1439,15 +1439,20 @@ ORACLES["kg_fuse_rdfs"] = SQL_KG_FUSE_RDFS
 # (including reflexive rows), while range-typing still fires.
 # ---------------------------------------------------------------------------
 
-def q_kg_fuse_expand(spark, sf_dir):
-    from re_shacl_spark.pipeline import fuse_expand
-
+def ablation_graph(spark, sf_dir):
+    """sameAs-rich input shared by the expand/merge ablation pair."""
     cust = _read(spark, sf_dir, "customer")
     base = _rows(cust, _iri("c:", F.col("c_custkey")), "kg:inNation", _iri("n:", F.col("c_nationkey")))
     alias = _rows(cust.filter(F.col("c_custkey") % 3 == 0),
                   _iri("c:", F.col("c_custkey")), SAMEAS, _iri("cx:", F.col("c_custkey")))
     tbox = triples_df(spark, [iri_triple("kg:inNation", RANGE, "kg:Nation")])
-    res = fuse_expand(spark, base.unionByName(alias).unionByName(tbox))
+    return base.unionByName(alias).unionByName(tbox)
+
+
+def q_kg_fuse_expand(spark, sf_dir):
+    from re_shacl_spark.pipeline import fuse_expand
+
+    res = fuse_expand(spark, ablation_graph(spark, sf_dir))
     return _spo(res.triples)
 
 
@@ -1511,3 +1516,26 @@ SQL_SIM_LSH_RECALL = "SELECT 32 AS n_queries, 5 AS k, true AS recall_ge_09"
 
 QUERIES["sim_lsh_recall"] = q_sim_lsh_recall
 ORACLES["sim_lsh_recall"] = SQL_SIM_LSH_RECALL
+
+
+# ---------------------------------------------------------------------------
+# S4 sink parity: serialize the KG to N-Triples (distributed writer) and read
+# it back through the distributed regex source — identity on (s,p,o)
+# ---------------------------------------------------------------------------
+
+def q_kg_serialize_roundtrip(spark, sf_dir):
+    import tempfile
+
+    from re_shacl_spark.model.serialize import read_ntriples, write_ntriples
+
+    path = tempfile.mkdtemp(prefix="re_shacl_nt_") + "/graph.nt"
+    write_ntriples(rel_triples(spark, sf_dir), path)
+    return _spo(read_ntriples(spark, path))
+
+
+SQL_KG_SERIALIZE = f"""WITH {REL_TRIPLES_CTE.strip()}
+SELECT DISTINCT s, p, o FROM base"""
+
+
+QUERIES["kg_serialize_roundtrip"] = q_kg_serialize_roundtrip
+ORACLES["kg_serialize_roundtrip"] = SQL_KG_SERIALIZE

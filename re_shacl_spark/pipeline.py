@@ -136,6 +136,11 @@ def fuse(
     delta = cur
     merged_last = False
     trans_props = sorted(tbox.transitive)
+    # purely-linear rule sets: a merge cannot enable anything new (linear rules
+    # commute with the rewrite; only J7/J9/J10 join on columns a merge can
+    # equate), so merge-triggered re-derivation rounds are skipped outright
+    def merge_retriggers() -> bool:
+        return bool(trans_props or tbox.functional or tbox.inverse_functional)
     # every IRI the TBox index was built from: if a sameAs merge renames one of
     # these, the driver-closed maps go stale and must be rebuilt from the
     # rewritten graph (classes/properties CAN be sameAs-merged — eq-rep-p)
@@ -150,9 +155,16 @@ def fuse(
             or not delta.filter(F.col("p").isin(trans_props)).isEmpty()
         ):
             derived = derived.unionByName(engine.rule_transitive(cur))
-        derived = derived.dropDuplicates(["s", "p", "o"])
-        new = derived.join(cur, ["s", "p", "o"], "left_anti").localCheckpoint(eager=True)
-        has_new = not new.isEmpty()
+        # probe derived BEFORE the anti-join: the anti-join's right side is the
+        # whole graph (cannot be broadcast), so an empty derived frame would
+        # still pay a full-graph shuffle without this short-circuit
+        if derived.isEmpty():
+            new = derived.limit(0).localCheckpoint(eager=True)
+            has_new = False
+        else:
+            derived = derived.dropDuplicates(["s", "p", "o"])
+            new = derived.join(cur, ["s", "p", "o"], "left_anti").localCheckpoint(eager=True)
+            has_new = not new.isEmpty()
         if has_new:
             progressed = True
             # both children are materialized — a plain union keeps lineage O(1)
@@ -164,50 +176,57 @@ def fuse(
         need_sameas = rounds == 1 or has_new or merged_last
         merged_last = False
         if need_sameas:
+            # connected_components handles empty edge frames itself; one
+            # count() on the checkpointed map replaces three separate probe
+            # jobs (edges.isEmpty, reps.isEmpty, broadcast-gate limit+count) —
+            # at toy scale the fixpoint is job-barrier-bound, so every probe
+            # action per round is wall-clock
             edges = engine.derive_sameas(cur)
-            if not edges.isEmpty():
-                new_reps = connected_components(edges, n_salts=cc_salts)
-                if not new_reps.isEmpty():
-                    new_reps = new_reps.localCheckpoint(eager=True)
-                    # size-gate ONCE per round on the checkpointed map, pass the
-                    # decision through (SURVEY §2.3 J13: broadcast small maps,
-                    # sort-merge web-scale ones)
-                    bcast = (
-                        new_reps.limit(BROADCAST_REP_MAP_MAX_ROWS + 1).count()
-                        <= BROADCAST_REP_MAP_MAX_ROWS
-                    )
-                    cur = canonicalize_triples(
-                        cur, new_reps, broadcast=bcast
-                    ).localCheckpoint(eager=True)
-                    new = canonicalize_triples(new, new_reps, broadcast=bcast) if has_new else new
-                    rep_map = _compose_rep_maps(rep_map, new_reps)
-                    rep_map = rep_map.localCheckpoint(eager=True)
-                    progressed = True
-                    merged_last = True
-                    if tbox_terms and not new_reps.filter(
-                        F.col("member").isin(tbox_terms)
-                        | F.col("rep").isin(tbox_terms)
-                    ).isEmpty():
-                        # member side: a TBox term was renamed → closed maps are
-                        # stale.  rep side: a non-TBox IRI merged INTO a TBox
-                        # term — the rewrite lands rows on that term only in
-                        # `cur`, never in the delta, so delta-fed linear rules
-                        # would silently miss them; re-derive over the full
-                        # graph (new = cur below).
-                        # a merge renamed a TBox term: rebuild the closed maps
-                        # from the rewritten graph and re-derive from scratch
-                        tbox_rows = extract_tbox(cur)
-                        tbox = build_tbox_index(tbox_rows, rdfs_mode=rdfs)
-                        engine = RuleEngine(spark, tbox, scope or Scope.unrestricted(), profile=profile)
-                        trans_props = sorted(tbox.transitive)
-                        tbox_terms = sorted({t for row in tbox_rows for t in row})
-                        # merges may have created fresh class/property
-                        # equivalences — collapse them like the initial pass
-                        static = tbox.class_rep_pairs() + tbox.prop_rep_pairs()
-                        if static:
-                            cur = apply_static_map(cur, static).localCheckpoint(eager=True)
-                        new = cur  # next round re-derives over the full graph
+            new_reps = connected_components(edges, n_salts=cc_salts)
+            new_reps = new_reps.localCheckpoint(eager=True)
+            n_reps = new_reps.count()
+            if n_reps:
+                # size-gate ONCE per round on the checkpointed map, pass the
+                # decision through (SURVEY §2.3 J13: broadcast small maps,
+                # sort-merge web-scale ones)
+                bcast = n_reps <= BROADCAST_REP_MAP_MAX_ROWS
+                cur = canonicalize_triples(
+                    cur, new_reps, broadcast=bcast
+                ).localCheckpoint(eager=True)
+                new = canonicalize_triples(new, new_reps, broadcast=bcast) if has_new else new
+                rep_map = _compose_rep_maps(rep_map, new_reps)
+                rep_map = rep_map.localCheckpoint(eager=True)
+                progressed = True
+                merged_last = merge_retriggers()
+                if tbox_terms and not new_reps.filter(
+                    F.col("member").isin(tbox_terms)
+                    | F.col("rep").isin(tbox_terms)
+                ).isEmpty():
+                    # member side: a TBox term was renamed → closed maps are
+                    # stale.  rep side: a non-TBox IRI merged INTO a TBox
+                    # term — the rewrite lands rows on that term only in
+                    # `cur`, never in the delta, so delta-fed linear rules
+                    # would silently miss them; re-derive over the full
+                    # graph (new = cur below).
+                    # a merge renamed a TBox term: rebuild the closed maps
+                    # from the rewritten graph and re-derive from scratch
+                    tbox_rows = extract_tbox(cur)
+                    tbox = build_tbox_index(tbox_rows, rdfs_mode=rdfs)
+                    engine = RuleEngine(spark, tbox, scope or Scope.unrestricted(), profile=profile)
+                    trans_props = sorted(tbox.transitive)
+                    tbox_terms = sorted({t for row in tbox_rows for t in row})
+                    # merges may have created fresh class/property
+                    # equivalences — collapse them like the initial pass
+                    static = tbox.class_rep_pairs() + tbox.prop_rep_pairs()
+                    if static:
+                        cur = apply_static_map(cur, static).localCheckpoint(eager=True)
+                    new = cur  # next round re-derives over the full graph
+                    merged_last = True  # rebuild must force the next round
         if not progressed:
+            break
+        if not has_new and not merged_last:
+            # merge under a purely-linear rule set: commutation says the
+            # closure is already complete — skip the confirmation round
             break
         delta = new
 

@@ -41,6 +41,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         # iterative fixpoints localCheckpoint() per round; replication not needed locally
         .config("spark.checkpoint.compress", "true")
+        # NOT set: spark.rdd.compress / io.compression.codec=zstd — measured
+        # A/B at 150k pages showed them ~9% SLOWER at local[4] on this box
+        # (spare bandwidth, so compression only costs CPU); on a genuinely
+        # bandwidth-starved cluster they are the first knobs to revisit
         # self-referencing unions (fixpoint deltas unioned back into their source
         # frame) trip Catalyst's Union constraint rewrite ("key not found: u#N")
         # in Spark 4.1; constraint propagation buys nothing for checkpoint-

@@ -175,7 +175,8 @@ def lubm_abox(spark: SparkSession, n_univ: int = N_UNIV_DEFAULT) -> DataFrame:
 def lubm_violations(spark: SparkSession, which: int, n_univ: int = N_UNIV_DEFAULT) -> DataFrame:
     """End-to-end: committed schema{which}.ttl compiled → distributed
     validation over the generated ABox → full violation report."""
-    return validate(spark, lubm_abox(spark, n_univ), lubm_shapes(which)).violations
+    abox = lubm_abox(spark, n_univ).localCheckpoint(eager=True)
+    return validate(spark, abox, lubm_shapes(which)).violations
 
 
 # -- DuckDB oracle -----------------------------------------------------------

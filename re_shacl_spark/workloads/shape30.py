@@ -180,7 +180,8 @@ def shape30_abox(spark: SparkSession, n_ent: int = N_ENT_DEFAULT) -> DataFrame:
 def shape30_violations(spark: SparkSession, n_ent: int = N_ENT_DEFAULT) -> DataFrame:
     """End-to-end: all 30 committed node shapes (611 property shapes)
     validated in ONE single-pass aggregation over the generated ABox."""
-    return validate(spark, shape30_abox(spark, n_ent), shape30_shapes()).violations
+    abox = shape30_abox(spark, n_ent).localCheckpoint(eager=True)
+    return validate(spark, abox, shape30_shapes()).violations
 
 
 def oracle_sql(n_ent: int = N_ENT_DEFAULT) -> str:

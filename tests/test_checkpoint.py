@@ -79,3 +79,27 @@ def test_force_recompute(spark, store):
     store.save("s", spark.range(5))
     out = store.run_stage("s", lambda: spark.range(9), force=True)
     assert out.count() == 9
+
+
+def test_fingerprint_mismatch_invalidates_stage(spark, store):
+    from re_shacl_spark.checkpoint import input_fingerprint
+
+    fp1 = input_fingerprint(["file_a"], [("alias", "e1", 0.9)])
+    fp2 = input_fingerprint(["file_a", "file_b"], [("alias", "e1", 0.9)])
+    assert fp1 != fp2
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(3).toDF("x")
+
+    store.run_stage("fp_stage", build, fingerprint=fp1)
+    # same fingerprint: resumed from checkpoint, no recompute
+    store.run_stage("fp_stage", build, fingerprint=fp1)
+    assert len(calls) == 1
+    # changed inputs: stale checkpoint must NOT be served
+    store.run_stage("fp_stage", build, fingerprint=fp2)
+    assert len(calls) == 2
+    # legacy callers without a fingerprint still resume
+    store.run_stage("fp_stage", build)
+    assert len(calls) == 2
