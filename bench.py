@@ -60,6 +60,10 @@ def main() -> None:
     # run pays JIT + codegen compilation across ~30 job barriers
     kgbench.q_rel_q1(spark, sf_dir).count()
     kgbench.q_kg_fuse(spark, "/root/testdata/sf0.001").count()
+    # preheat the benchmark SF's parquet into page cache so the first timed
+    # query measures compute, not cold disk (reference preheat protocol)
+    for t in ("customer", "supplier", "nation", "orders", "documents", "embeddings"):
+        kgbench._read(spark, sf_dir, t).count()
 
     per_q: dict[str, float] = {}
     rows: dict[str, int] = {}

@@ -149,16 +149,20 @@ def fuse(
         progressed = False
 
         derived = engine.derive_linear(delta)
-        if trans_props and (
+        include_trans = trans_props and (
             rounds == 1
             or merged_last
             or not delta.filter(F.col("p").isin(trans_props)).isEmpty()
-        ):
+        )
+        if include_trans:
             derived = derived.unionByName(engine.rule_transitive(cur))
-        # probe derived BEFORE the anti-join: the anti-join's right side is the
-        # whole graph (cannot be broadcast), so an empty derived frame would
-        # still pay a full-graph shuffle without this short-circuit
-        if derived.isEmpty():
+        # For linear-only confirmation rounds, probe derived BEFORE the
+        # anti-join: its right side is the whole graph (cannot be broadcast),
+        # so an empty derived frame would still pay a full-graph shuffle.  The
+        # probe re-evaluates the derive plan, which is cheap ONLY for the
+        # delta-fed linear rules — never probe when the transitive closure is
+        # in the union (it would run the closure twice per round).
+        if not include_trans and rounds > 1 and derived.isEmpty():
             new = derived.limit(0).localCheckpoint(eager=True)
             has_new = False
         else:
