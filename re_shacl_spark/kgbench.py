@@ -1539,3 +1539,85 @@ SELECT DISTINCT s, p, o FROM base"""
 
 QUERIES["kg_serialize_roundtrip"] = q_kg_serialize_roundtrip
 ORACLES["kg_serialize_roundtrip"] = SQL_KG_SERIALIZE
+
+
+# ---------------------------------------------------------------------------
+# near-dup cluster collapse: LSH pairs → connected components → min-id
+# survivor (ops/dedup.py::near_dup_clusters); the oracle closes the pair
+# graph with a recursive CTE and takes the component minimum
+# ---------------------------------------------------------------------------
+
+def _sql_lsh_cands() -> str:
+    """Just the LSH candidate-pair CTE (the band equi-join union), reusable
+    by the cluster oracle."""
+    bands, rows_per = 4, 2
+    band_joins = []
+    for b in range(bands):
+        cols = [f"mh{b * rows_per + r}" for r in range(rows_per)]
+        cond = " AND ".join(f"a.{c} = b.{c}" for c in cols)
+        band_joins.append(
+            f"SELECT a.doc_id id_a, b.doc_id id_b FROM sig a JOIN sig b ON {cond} AND a.doc_id < b.doc_id"
+        )
+    return "cands AS (" + " UNION ".join(band_joins) + ")"
+
+
+def q_dedup_clusters(spark, sf_dir):
+    return D.near_dup_clusters(_docs_with_dups(spark, sf_dir))
+
+
+SQL_DEDUP_CLUSTERS = f"""WITH RECURSIVE {SQL_DOCS_CTE},
+{_SQL_SHINGLES},
+sig AS (SELECT d.doc_id, {_sql_minhash_aggs()}
+        FROM docs d LEFT JOIN hh ON d.doc_id = hh.doc_id GROUP BY d.doc_id),
+{_sql_lsh_cands()},
+e(u, v) AS (
+  SELECT lpad(id_a::VARCHAR, 12, '0'), lpad(id_b::VARCHAR, 12, '0') FROM cands
+  UNION SELECT lpad(id_b::VARCHAR, 12, '0'), lpad(id_a::VARCHAR, 12, '0') FROM cands
+),
+reach(a, b) AS (
+  SELECT u, v FROM e
+  UNION SELECT r.a, e2.v FROM reach r JOIN e e2 ON r.b = e2.u
+)
+SELECT a::BIGINT AS doc_id, m::BIGINT AS keep_id FROM (
+  SELECT a, least(a, min(b)) AS m FROM reach GROUP BY a
+) t WHERE a <> m"""
+
+
+QUERIES["dedup_clusters"] = q_dedup_clusters
+ORACLES["dedup_clusters"] = SQL_DEDUP_CLUSTERS
+
+
+# ---------------------------------------------------------------------------
+# stateful streaming dedup (§2.10 beyond the reference): two deterministic
+# increments (original docs, then the injected +1M/+2M dup ids) drained
+# through applyInPandasWithState — the sink holds exactly one row per content
+# fingerprint, first-seen batch wins; the oracle reproduces the winner rule
+# (min original id if the fingerprint appeared in batch 1, else min injected)
+# ---------------------------------------------------------------------------
+
+def q_stream_dedup(spark, sf_dir):
+    import tempfile
+
+    from re_shacl_spark.streaming.stateful import run_dedup_increment
+
+    base = tempfile.mkdtemp(prefix="re_shacl_sd_")
+    docs_dir, out_dir, ckpt = f"{base}/docs", f"{base}/out", f"{base}/ckpt"
+    d = _docs_with_dups(spark, sf_dir)
+    d.filter(F.col("doc_id") < 1000000).write.parquet(f"{docs_dir}/b1")
+    run_dedup_increment(spark, docs_dir + "/*", out_dir, ckpt)
+    d.filter(F.col("doc_id") >= 1000000).write.parquet(f"{docs_dir}/b2")
+    run_dedup_increment(spark, docs_dir + "/*", out_dir, ckpt)
+    return spark.read.parquet(out_dir).select("doc_id", "fp")
+
+
+SQL_STREAM_DEDUP = f"""WITH {SQL_DOCS_CTE},
+h AS (SELECT doc_id, md5({_SQL_NORM}) fp FROM docs)
+SELECT coalesce(
+         min(CASE WHEN doc_id < 1000000 THEN doc_id END),
+         min(doc_id)
+       )::BIGINT AS doc_id, fp
+FROM h GROUP BY fp"""
+
+
+QUERIES["stream_dedup"] = q_stream_dedup
+ORACLES["stream_dedup"] = SQL_STREAM_DEDUP

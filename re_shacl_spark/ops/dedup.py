@@ -222,3 +222,26 @@ def embedding_near_dups(
         pairs.select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def near_dup_clusters(docs: DataFrame, min_matching: int = 1) -> DataFrame:
+    """The dedup endgame: LSH candidate pairs → connected components →
+    min-id survivor per cluster (keep one representative, drop the rest —
+    the standard web-corpus 'near-dup cluster collapse').
+
+    Reuses the salted large-star/small-star CC (canonicalize/cc.py), so a
+    pathological cluster (one boilerplate page matching millions) rides the
+    same skew machinery as hub entities.  Ids are zero-padded for the CC's
+    lexicographic min so the survivor is the NUMERIC minimum.
+    """
+    from re_shacl_spark.canonicalize.cc import connected_components
+
+    pairs = minhash_lsh_candidates(docs)
+    if min_matching > 1:
+        pairs = pairs.filter(F.col("matching_hashes") >= min_matching)
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")  # noqa: E731
+    reps = connected_components(pairs.select(pad("id_a").alias("u"), pad("id_b").alias("v")))
+    return reps.select(
+        F.col("member").cast("bigint").alias("doc_id"),
+        F.col("rep").cast("bigint").alias("keep_id"),
+    )

@@ -1,0 +1,84 @@
+"""Stateful streaming: cross-batch exact dedup of incoming documents.
+
+The batch dedup family (ops/dedup.py) answers "which docs in the CORPUS are
+duplicates"; an ingestion front end needs the streaming complement — "have I
+seen this content in ANY earlier batch" — which requires state that outlives
+the micro-batch.  This is `applyInPandasWithState` over the content
+fingerprint: per-group state is one `seen` flag in the state store, so each
+fingerprint is emitted exactly once across the stream's lifetime and restarts
+(the flag rides the streaming checkpoint like the file-source log does).
+
+State size: one boolean per DISTINCT fingerprint — the minimal dedup state any
+exactly-once design needs; keys are hash-partitioned by the shuffle, so a
+hot fingerprint never concentrates state on one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUT_SCHEMA = "doc_id long, fp string, text string"
+STATE_SCHEMA = "seen boolean"
+
+
+def _emit_first(key, pdfs, state: GroupState):
+    import pandas as pd
+
+    if state.exists:
+        # fingerprint already emitted in an earlier batch: drop everything
+        return
+    rows = pd.concat(list(pdfs))
+    state.update((True,))
+    # deterministic survivor within the first batch that carries the key
+    yield rows.sort_values("doc_id").head(1)[["doc_id", "fp", "text"]]
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Content fingerprint identical to ops/dedup.exact_dedup's normalization."""
+    norm = F.regexp_replace(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), r"\s+", " ")
+    return docs.select("doc_id", F.md5(norm).alias("fp"), "text")
+
+
+def dedup_stream(docs: DataFrame) -> DataFrame:
+    """Streaming frame of first-seen documents (exactly one row per distinct
+    content fingerprint over the whole stream history)."""
+    return (
+        fingerprint(docs)
+        .groupBy("fp")
+        .applyInPandasWithState(
+            _emit_first,
+            outputStructType=OUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_dedup_increment(spark, docs_dir: str, out_dir: str, checkpoint_dir: str,
+                        schema: str = "doc_id long, text string") -> int:
+    """Drain currently-unseen document files through the stateful dedup into
+    the sink, exactly once, then stop.  Returns first-seen rows written this
+    invocation (sink row-count delta)."""
+
+    def sink_rows() -> int:
+        try:
+            return spark.read.parquet(out_dir).count()
+        except Exception:
+            return 0
+
+    before = sink_rows()
+    stream = spark.readStream.schema(schema).parquet(docs_dir)
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sink_rows() - before
