@@ -369,13 +369,24 @@ def _resolve_node_refs(
                     out.append(x.node_ref)
         return out
 
-    def conforming_set(sid: str, ref_sets: dict[str, DataFrame]) -> DataFrame:
-        # conformance against ALL nodes typed with the shape's target class
-        # (sh:node checks membership of the value in the conforming set)
-        rep = validate(spark, triples, [by_id[sid]], tbox, _ref_sets=ref_sets)
-        bad = rep.violations.select(F.col("focus").alias("node")).distinct()
-        tgt = _targets(spark, triples, [by_id[sid]], tbox).select(F.col("focus").alias("node"))
-        return tgt.join(bad, "node", "left_anti").localCheckpoint(eager=True)
+    def conforming_sets(sids: list[str], ref_sets: dict[str, DataFrame]) -> dict[str, DataFrame]:
+        # conformance against ALL nodes typed with each shape's target class
+        # (sh:node checks membership of the value in the conforming set).
+        # One validate() covers the whole batch — its violations frame is
+        # checkpointed, so the per-shape splits below are cheap filters
+        batch = [by_id[sid] for sid in sids]
+        rep = validate(spark, triples, batch, tbox, _ref_sets=ref_sets)
+        tgts = _targets(spark, triples, batch, tbox)
+        out = {}
+        for sid in sids:
+            bad = (
+                rep.violations.filter(F.col("shape") == sid)
+                .select(F.col("focus").alias("node"))
+                .distinct()
+            )
+            tgt = tgts.filter(F.col("shape_id") == sid).select(F.col("focus").alias("node"))
+            out[sid] = tgt.join(bad, "node", "left_anti").localCheckpoint(eager=True)
+        return out
 
     # acyclic (the committed workloads): resolve in dependency order, each
     # referenced shape validated exactly once with its deps already final
@@ -398,12 +409,20 @@ def _resolve_node_refs(
     acyclic = all(topo(sid) for sid in resolvable)
     conforming: dict[str, DataFrame] = {}
     if acyclic:
+        # batch shapes of the same dependency LEVEL into one validate() —
+        # LUBM's 4-6 referenced shapes resolve in depth() calls, not one each
+        level_of: dict[str, int] = {}
+        for sid in order:  # topological: refs resolved before dependents
+            level_of[sid] = 1 + max((level_of[r] for r in refs_of(sid)), default=0)
+        levels: dict[int, list[str]] = {}
         for sid in order:
-            conforming[sid] = conforming_set(sid, conforming)
+            levels.setdefault(level_of[sid], []).append(sid)
+        for lvl in sorted(levels):
+            conforming.update(conforming_sets(levels[lvl], conforming))
     else:
         # cyclic shape graph: optimistic start, sweep to downward fixpoint
         for _ in range(max(1, depth)):
-            conforming = {sid: conforming_set(sid, conforming) for sid in resolvable}
+            conforming = conforming_sets(resolvable, conforming)
 
     return _join_ref_sets(g, conforming)
 
