@@ -1621,3 +1621,95 @@ FROM h GROUP BY fp"""
 
 QUERIES["stream_dedup"] = q_stream_dedup
 ORACLES["stream_dedup"] = SQL_STREAM_DEDUP
+
+
+# ---------------------------------------------------------------------------
+# composite training-data pipeline: the filter a pretraining corpus build
+# actually runs — language gate ∧ quality gate ∧ exact-dedup survivor — as
+# ONE declarative plan (each stage is individually oracle-checked above; this
+# query checks their composition end-to-end)
+# ---------------------------------------------------------------------------
+
+def q_corpus_filter(spark, sf_dir):
+    d = _docs_with_dups(spark, sf_dir)
+    qual = TS.quality_score(d).select("doc_id", "quality")
+    lang = TS.lang_id(d).select("doc_id", "pred_lang")
+    toks = TS.tokens(d).select("doc_id", F.col("ws_tokens").cast("long").alias("ws_tokens"))
+    dup_ids = D.exact_dedup(d).select(F.col("dup_id").alias("doc_id"))
+    return (
+        d.select("doc_id")
+        .join(dup_ids, "doc_id", "left_anti")  # survivors only
+        .join(lang, "doc_id")
+        .join(qual, "doc_id")
+        .join(toks, "doc_id")
+        .filter((F.col("pred_lang") == "en") & (F.col("quality") >= 0.6))
+        .select("doc_id", "pred_lang", "quality", "ws_tokens")
+    )
+
+
+def _sql_corpus_filter() -> str:
+    langid_on_docs = _sql_langid().replace("FROM documents", "FROM docs")
+    quality_on_docs = SQL_TEXT_QUALITY.replace("FROM documents", "FROM docs")
+    return f"""WITH {SQL_DOCS_CTE},
+lid AS ({langid_on_docs}),
+qual AS ({quality_on_docs}),
+h AS (SELECT doc_id, md5({_SQL_NORM}) fp FROM docs),
+dups AS (
+  SELECT h.doc_id FROM h JOIN (SELECT fp, min(doc_id) k, count(*) n FROM h GROUP BY fp) g
+  USING (fp) WHERE g.n > 1 AND h.doc_id != g.k
+),
+tok AS (SELECT doc_id, len(string_split_regex(trim(coalesce(text,'')), '\\s+'))::BIGINT ws_tokens FROM docs)
+SELECT d.doc_id, lid.pred_lang, qual.quality, tok.ws_tokens
+FROM docs d
+JOIN lid USING (doc_id) JOIN qual USING (doc_id) JOIN tok USING (doc_id)
+WHERE d.doc_id NOT IN (SELECT doc_id FROM dups)
+  AND lid.pred_lang = 'en' AND qual.quality >= 0.6"""
+
+
+QUERIES["corpus_filter"] = q_corpus_filter
+ORACLES["corpus_filter"] = _sql_corpus_filter()
+
+
+# ---------------------------------------------------------------------------
+# IVF-style ANN (the second scale path besides LSH): one coarse cell per data
+# vector, queries probe their 4 nearest of 16 deterministic centroids —
+# fully oracle-mirrorable because the centroids are data rows, not synthetic
+# hyperplanes (ops/similarity.py::ivf_topk)
+# ---------------------------------------------------------------------------
+
+def q_sim_ivf_topk(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = S.ivf_topk(emb, queries, n_centroids=16, n_probe=4, k=5)
+    return out.select("q_id", "nn_id", "cosine", F.col("rank").cast("long").alias("rank"))
+
+
+SQL_SIM_IVF = """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+cent AS (SELECT vec_id cid, v cv FROM e WHERE vec_id < 16),
+ass AS (
+  SELECT e.vec_id, c.cid,
+    row_number() OVER (PARTITION BY e.vec_id
+      ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cid) rn
+  FROM e CROSS JOIN cent c
+),
+cells AS (SELECT vec_id, cid AS cell FROM ass WHERE rn = 1),
+q AS (SELECT vec_id q_id, v qv FROM e WHERE vec_id < 8),
+qass AS (
+  SELECT q.q_id, c.cid,
+    row_number() OVER (PARTITION BY q.q_id
+      ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.cid) rn
+  FROM q CROSS JOIN cent c
+),
+qcells AS (SELECT q_id, cid AS cell FROM qass WHERE rn <= 4),
+cands AS (SELECT DISTINCT qc.q_id, ce.vec_id nn_id
+          FROM qcells qc JOIN cells ce USING (cell) WHERE ce.vec_id != qc.q_id),
+s AS (SELECT cands.q_id, cands.nn_id, round(list_cosine_similarity(q.qv, e.v), 6) cosine
+      FROM cands JOIN e ON e.vec_id = cands.nn_id JOIN q ON q.q_id = cands.q_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, nn_id) rank FROM s)
+SELECT q_id, nn_id, cosine, rank FROM r WHERE rank <= 5"""
+
+
+QUERIES["sim_ivf_topk"] = q_sim_ivf_topk
+ORACLES["sim_ivf_topk"] = SQL_SIM_IVF

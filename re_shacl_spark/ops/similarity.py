@@ -132,3 +132,74 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "nn_id", "cosine", "rank")
     )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell) assignment to the ``n_probe`` nearest coarse centroids by
+    cosine (ties break to the smaller centroid id).  Centroids are a small
+    driver-side list (real deployments train them with k-means; the benchmark
+    uses deterministic seed rows), embedded as literals so assignment is pure
+    JVM column math — one scan, no shuffle, no UDF."""
+    v = F.col(vec_col).cast("array<double>")
+    scored = []
+    for cid, cvec in centroids:
+        c = F.array(*[F.lit(float(x)) for x in cvec])
+        # struct comparison: cosine desc, then SMALLER cid via negated id
+        scored.append(F.struct(F.round(cosine(v, c), 6).alias("cos"), F.lit(-cid).alias("ncid")))
+    ranked = F.slice(F.sort_array(F.array(*scored), asc=False), 1, n_probe)
+    return emb.select(
+        F.col(id_col).alias("id"),
+        F.explode(ranked).alias("cell_s"),
+    ).select("id", (-F.col("cell_s.ncid")).alias("cell"))
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """IVF-style ANN: data vectors live in ONE coarse cell (their nearest
+    centroid); each query probes its ``n_probe`` nearest cells and scores only
+    the residents — the classic inverted-file index shape (one shuffle on
+    cell, candidate fraction ≈ n_probe / n_centroids at scale).
+
+    Centroids here are the first ``n_centroids`` data vectors (deterministic,
+    oracle-mirrorable); swap in k-means centroids for production recall."""
+    cent_rows = (
+        emb.filter(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).cast("int").alias("cid"), F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    centroids = sorted((r.cid, list(r.v)) for r in cent_rows)
+    cells = ivf_assign(emb, centroids, n_probe=1, id_col=id_col, vec_col=vec_col)
+    qcells = ivf_assign(queries, centroids, n_probe=n_probe, id_col=q_id_col, vec_col=q_vec_col
+                        ).withColumnRenamed("id", "q_id")
+    cands = (
+        cells.join(qcells, "cell")
+        .select("q_id", F.col("id").alias("nn_id"))
+        .filter(F.col("q_id") != F.col("nn_id"))
+        .distinct()
+    )
+    e = emb.select(F.col(id_col).alias("nn_id"), F.col(vec_col).cast("array<double>").alias("v"))
+    q = queries.select(F.col(q_id_col).alias("q_id"), F.col(q_vec_col).cast("array<double>").alias("qv"))
+    scored = cands.join(e, "nn_id").join(F.broadcast(q), "q_id").select(
+        "q_id", "nn_id", F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cosine")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("nn_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "nn_id", "cosine", "rank")
+    )

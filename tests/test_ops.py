@@ -150,3 +150,24 @@ def test_simhash_near_dups_complete_vs_bruteforce(spark):
             want.add((a, b))
     got = {(r.id_a, r.id_b) for r in D.simhash_near_dups(d, max_hamming=3).collect()}
     assert got == want and len(want) > 0
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(200)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = S.brute_force_topk(emb, q, k=5)
+    approx = S.ivf_topk(emb, q, n_centroids=8, n_probe=3, k=5)
+    e = {(r.q_id, r.nn_id) for r in exact.collect()}
+    a = {(r.q_id, r.nn_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.4  # probes 3/8 cells; partial recall by design, never zero
+    # every vector lives in exactly one cell; probing ALL cells = exact
+    full = S.ivf_topk(emb, q, n_centroids=8, n_probe=8, k=5)
+    f = {(r.q_id, r.nn_id) for r in full.collect()}
+    assert f == e
