@@ -1713,3 +1713,17 @@ SELECT q_id, nn_id, cosine, rank FROM r WHERE rank <= 5"""
 
 QUERIES["sim_ivf_topk"] = q_sim_ivf_topk
 ORACLES["sim_ivf_topk"] = SQL_SIM_IVF
+
+
+def q_mm_video_frames(spark, sf_dir):
+    """Multimodal: video frame sampling fan-out (rows-only: synthetic binary
+    payloads are not SQL-expressible; determinism + fan-out shape pinned in
+    tests/test_multimodal.py)."""
+    from re_shacl_spark.ops import multimodal as MM
+
+    f = MM.sample_frames(MM.synth_assets(spark, 300), every=2)
+    return f.select("asset_id", "frame_idx", F.md5(F.col("frame")).alias("frame_md5"))
+
+
+QUERIES["mm_video_frames"] = q_mm_video_frames
+# (rows-only: intentionally absent from ORACLES)
