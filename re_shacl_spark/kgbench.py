@@ -1727,3 +1727,48 @@ def q_mm_video_frames(spark, sf_dir):
 
 QUERIES["mm_video_frames"] = q_mm_video_frames
 # (rows-only: intentionally absent from ORACLES)
+
+
+# ---------------------------------------------------------------------------
+# SHACL string facets: sh:pattern / sh:minLength / sh:maxLength
+# (validate/engine.py::_value_conformance; standard constraints a user
+# migrating real shapes graphs expects even though the committed reference
+# graphs do not use them)
+# ---------------------------------------------------------------------------
+
+def q_v_pattern(spark, sf_dir):
+    cust = _read(spark, sf_dir, "customer")
+    lex = F.when(F.col("c_custkey") % 4 != 0, F.col("c_name")).otherwise(F.col("c_mktsegment"))
+    vals = _lit_rows(cust, _iri("c:", F.col("c_custkey")), "kg:code", lex, F.lit(XSD_STRING))
+    t = _cust_targets(spark, sf_dir).unionByName(vals)
+    shapes = [NodeShape("sh:CustShape", target_classes=["kg:Customer"],
+                        properties=[PropertyConstraint(path="kg:code", pattern="^Customer#[0-9]+$")])]
+    return validate(spark, t, shapes).violations
+
+
+SQL_V_PATTERN = """SELECT 'c:'||c_custkey::varchar AS focus, 'sh:CustShape' AS shape,
+'kg:code' AS path, 'value' AS "constraint", c_mktsegment AS value
+FROM customer WHERE c_custkey % 4 = 0"""
+
+
+def q_v_length(spark, sf_dir):
+    cust = _read(spark, sf_dir, "customer")
+    base = F.concat(F.col("c_name"), F.col("c_mktsegment"))
+    lex = base.substr(F.lit(1), (F.col("c_custkey") % 20 + 3).cast("int"))
+    vals = _lit_rows(cust, _iri("c:", F.col("c_custkey")), "kg:label", lex, F.lit(XSD_STRING))
+    t = _cust_targets(spark, sf_dir).unionByName(vals)
+    shapes = [NodeShape("sh:CustShape", target_classes=["kg:Customer"],
+                        properties=[PropertyConstraint(path="kg:label", min_length=8, max_length=18)])]
+    return validate(spark, t, shapes).violations
+
+
+SQL_V_LENGTH = """SELECT 'c:'||c_custkey::varchar AS focus, 'sh:CustShape' AS shape,
+'kg:label' AS path, 'value' AS "constraint",
+substr(c_name || c_mktsegment, 1, (c_custkey % 20 + 3)::INT) AS value
+FROM customer WHERE (c_custkey % 20 + 3) < 8 OR (c_custkey % 20 + 3) > 18"""
+
+
+QUERIES["v_pattern"] = q_v_pattern
+QUERIES["v_length"] = q_v_length
+ORACLES["v_pattern"] = SQL_V_PATTERN
+ORACLES["v_length"] = SQL_V_LENGTH

@@ -50,6 +50,9 @@ _PC_SCHEMA = T.StructType(
         T.StructField("node_ref", T.StringType()),
         T.StructField("in_values", T.ArrayType(T.StringType())),
         T.StructField("has_value", T.StringType()),
+        T.StructField("pattern", T.StringType()),
+        T.StructField("min_length", T.IntegerType()),
+        T.StructField("max_length", T.IntegerType()),
         T.StructField("negated", T.BooleanType()),
         T.StructField("branch_idx", T.IntegerType()),  # null = base row; >=0 = or-branch
         T.StructField("is_not", T.BooleanType()),  # node-level sh:not property shape
@@ -79,7 +82,8 @@ def _pc_rows(shapes: list[NodeShape]) -> list[tuple]:
                 (
                     pc_id, ns.shape_id, pc.path, pc.min_count, pc.max_count,
                     pc.clazz, pc.datatype, pc.node_kind, pc.node_ref,
-                    pc.in_values, pc.has_value, pc.negated, None, is_not,
+                    pc.in_values, pc.has_value, pc.pattern, pc.min_length,
+                    pc.max_length, pc.negated, None, is_not,
                 )
             )
             for bi, b in enumerate(pc.or_branches):
@@ -87,7 +91,8 @@ def _pc_rows(shapes: list[NodeShape]) -> list[tuple]:
                     (
                         pc_id, ns.shape_id, pc.path, None, None,
                         b.clazz, b.datatype, b.node_kind, b.node_ref,
-                        b.in_values, b.has_value, b.negated, bi, is_not,
+                        b.in_values, b.has_value, b.pattern, b.min_length,
+                        b.max_length, b.negated, bi, is_not,
                     )
                 )
             pc_id += 1
@@ -151,13 +156,27 @@ def _value_conformance(col_prefix: str = "") -> F.Column:
     in_ok = F.when(F.col("in_values").isNull(), F.lit(True)).otherwise(
         F.array_contains(F.col("in_values"), o)
     )
+    # sh:pattern / sh:minLength / sh:maxLength apply to the value's string
+    # form (lex for literals, the IRI otherwise; bnodes fail per spec)
+    not_bnode = ~o.startswith("_:") | is_lit
+    pattern_ok = F.when(F.col("pattern").isNull(), F.lit(True)).otherwise(
+        not_bnode & F.regexp_like(o, F.col("pattern"))
+    )
+    len_ok = (
+        F.when(F.col("min_length").isNull(), F.lit(True)).otherwise(
+            not_bnode & (F.length(o) >= F.col("min_length"))
+        )
+        & F.when(F.col("max_length").isNull(), F.lit(True)).otherwise(
+            not_bnode & (F.length(o) <= F.col("max_length"))
+        )
+    )
     class_ok = F.when(F.col("clazz").isNull(), F.lit(True)).otherwise(
         F.col("_class_hit").isNotNull()
     )
     ref_ok = F.when(F.col("node_ref").isNull(), F.lit(True)).otherwise(
         F.col("_ref_ok")
     )
-    conf = node_kind_ok & dtype_ok & in_ok & class_ok & ref_ok
+    conf = node_kind_ok & dtype_ok & in_ok & pattern_ok & len_ok & class_ok & ref_ok
     conf = F.when(F.col("negated"), ~conf).otherwise(conf)
     return F.when(o.isNull(), F.lit(True)).otherwise(conf)
 
@@ -207,7 +226,7 @@ def validate(
 
     all_pc_cols = pcs.select(
         "pc_id", "branch_idx", "clazz", "datatype", "node_kind", "node_ref",
-        "in_values", "has_value", "negated",
+        "in_values", "has_value", "pattern", "min_length", "max_length", "negated",
     )
 
     # explode grid × (base + branches) so or-branches evaluate in the same pass

@@ -37,13 +37,18 @@ class PropertyConstraint:
     node_ref: str | None = None   # referenced NodeShape
     in_values: list[str] | None = None
     has_value: str | None = None
+    pattern: str | None = None       # sh:pattern (regex over the string form)
+    min_length: int | None = None    # sh:minLength
+    max_length: int | None = None    # sh:maxLength
     negated: bool = False
     or_branches: list["PropertyConstraint"] = field(default_factory=list)
 
     def has_value_constraints(self) -> bool:
         return any(
             x is not None
-            for x in (self.clazz, self.datatype, self.node_kind, self.node_ref, self.in_values, self.has_value)
+            for x in (self.clazz, self.datatype, self.node_kind, self.node_ref,
+                      self.in_values, self.has_value, self.pattern,
+                      self.min_length, self.max_length)
         ) or bool(self.or_branches)
 
 
@@ -95,6 +100,9 @@ def _compile_property(node: str, pox: dict) -> PropertyConstraint:
         node_kind=one("nodeKind"),
         node_ref=one("node"),
         has_value=one("hasValue"),
+        pattern=one("pattern"),
+        min_length=num("minLength"),
+        max_length=num("maxLength"),
     )
     in_head = one("in")
     if in_head:
@@ -113,6 +121,9 @@ def _compile_property(node: str, pox: dict) -> PropertyConstraint:
         pc.node_kind = pc.node_kind or inner.node_kind
         pc.in_values = pc.in_values or inner.in_values
         pc.has_value = pc.has_value or inner.has_value
+        pc.pattern = pc.pattern or inner.pattern
+        pc.min_length = pc.min_length if pc.min_length is not None else inner.min_length
+        pc.max_length = pc.max_length if pc.max_length is not None else inner.max_length
     return pc
 
 
@@ -182,6 +193,9 @@ def rewrite_shapes(shapes: list[NodeShape], node_rep: dict[str, str], class_rep:
             node_ref=pc.node_ref,
             in_values=[n(v) for v in pc.in_values] if pc.in_values else None,
             has_value=n(pc.has_value),
+            pattern=pc.pattern,
+            min_length=pc.min_length,
+            max_length=pc.max_length,
             negated=pc.negated,
             or_branches=[rw_pc(b) for b in pc.or_branches],
         )
