@@ -38,6 +38,38 @@ MINHASH_PARAMS: list[tuple[int, int]] = [
 ]
 
 
+def minhash_params(k: int) -> list[tuple[int, int]]:
+    """First k universal-hash (a, b) pairs; beyond the 8 committed constants
+    they are derived deterministically from the index (LCG-stepped), so any
+    production k is reproducible across runs and engines."""
+    out = list(MINHASH_PARAMS)
+    a, b = 1103515245, 12345
+    while len(out) < k:
+        a = (a * 214013 + 2531011) % P31
+        b = (b * 69069 + 362437) % P31
+        out.append((a or 1, b))
+    return out[:k]
+
+
+def lsh_params_for(jaccard_threshold: float, k_max: int = 256) -> tuple[int, int]:
+    """Data-driven (k, bands) for a target Jaccard threshold using the
+    standard S-curve rule: with b bands of r rows, the candidate-probability
+    inflection sits at (1/b)^(1/r).  Picks the smallest k = b*r (r in 2..8)
+    whose inflection is closest to the requested threshold — the knob the
+    toy 8/4 parameterization hardens into at corpus scale."""
+    best, best_err = (8, 4), 1.0
+    for r in range(2, 9):
+        for b in range(2, max(3, k_max // r) + 1):
+            k = b * r
+            if k > k_max:
+                break
+            t = (1.0 / b) ** (1.0 / r)
+            err = abs(t - jaccard_threshold) + k / 10000.0  # tie-break: small k
+            if err < best_err:
+                best, best_err = (k, b), err
+    return best
+
+
 def _norm_text(text_col: str = "text") -> F.Column:
     return F.regexp_replace(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+", " ")
 
@@ -79,7 +111,7 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", n: int = 3, k: int
         F.coalesce(
             F.min(F.pmod(F.col("h") * a + b, F.lit(P31))), F.lit(P31)
         ).alias(f"mh{i}")
-        for i, (a, b) in enumerate(MINHASH_PARAMS[:k])
+        for i, (a, b) in enumerate(minhash_params(k))
     ]
     return ex.groupBy("doc_id").agg(*aggs)
 

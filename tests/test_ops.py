@@ -171,3 +171,26 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
     full = S.ivf_topk(emb, q, n_centroids=8, n_probe=8, k=5)
     f = {(r.q_id, r.nn_id) for r in full.collect()}
     assert f == e
+
+
+def test_lsh_params_scale_with_threshold():
+    # higher thresholds need more rows per band (sharper S-curve)
+    k_hi, b_hi = D.lsh_params_for(0.9)
+    k_lo, b_lo = D.lsh_params_for(0.3)
+    assert (1.0 / b_hi) ** (1.0 / (k_hi // b_hi)) > 0.7
+    assert (1.0 / b_lo) ** (1.0 / (k_lo // b_lo)) < 0.55
+    # derived hash params extend the committed 8 deterministically
+    p32 = D.minhash_params(32)
+    assert p32[:8] == D.MINHASH_PARAMS and len(set(p32)) == 32
+    # committed-k behavior unchanged (oracle compatibility)
+    assert D.minhash_params(8) == D.MINHASH_PARAMS
+
+
+def test_minhash_lsh_with_scaled_params(spark):
+    # the operator accepts data-driven (k, bands) end-to-end
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    d = _docs(spark, [base, base + " extra", "unrelated words entirely here", base])
+    k, bands = D.lsh_params_for(0.5, k_max=24)
+    pairs = {(r.id_a, r.id_b) for r in
+             D.minhash_lsh_candidates(d, k=k, bands=bands).collect()}
+    assert (0, 3) in pairs
