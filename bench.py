@@ -49,9 +49,33 @@ def _force(df) -> int:
     return n
 
 
+def _fuse_stress() -> float | None:
+    """Scale-path evidence: the reasoning fixpoint over a synthetic
+    multi-million-triple graph (JVM-generated; no Python in the data path) —
+    the number that tracks 100 TB readiness, vs the barrier-bound toy-scale
+    kg_fuse headline.  MUST run before the parent bench session exists: two
+    local[32] JVMs contend for the same cores and understate throughput ~3×
+    (BENCH_r02's 47k vs 116-120k standalone — VERDICT r2 #1)."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)), "jobs", "fuse_bench.py"),
+             "--triples", "2000000"],
+            capture_output=True, text=True, timeout=300,
+        )
+        line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")]
+        if line:
+            return json.loads(line[-1])["triples_per_sec"]
+    except Exception:
+        pass
+    return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    fuse_stress = _fuse_stress()
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -76,25 +100,6 @@ def main() -> None:
         rows[name] = n
         if name == "kg_fuse":
             triples_per_sec = round(n / dt, 1)
-
-    # scale-path evidence in the per-round record: the reasoning fixpoint over
-    # a synthetic multi-million-triple graph (JVM-generated; no Python in the
-    # data path) — the number that tracks 100 TB readiness, vs the barrier-
-    # bound toy-scale kg_fuse above
-    import subprocess
-
-    fuse_stress = None
-    try:
-        out = subprocess.run(
-            [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)), "jobs", "fuse_bench.py"),
-             "--triples", "2000000"],
-            capture_output=True, text=True, timeout=300,
-        )
-        line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")]
-        if line:
-            fuse_stress = json.loads(line[-1])["triples_per_sec"]
-    except Exception:
-        pass
 
     # A1-style ablation metric: expansion-only (withoutM) size blowup vs the
     # merged graph on a sameAs-rich slice — the reason merge-then-reason wins

