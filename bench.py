@@ -101,21 +101,33 @@ def main() -> None:
         if name == "kg_fuse":
             triples_per_sec = round(n / dt, 1)
 
-    # A1-style ablation metric: expansion-only (withoutM) size blowup vs the
-    # merged graph on a sameAs-rich slice — the reason merge-then-reason wins
+    # A1-style ablation metric, now the reference's full THREE-method
+    # comparison (run_experiment.py methods + inter_graph): merged (Re-SHACL) /
+    # expansion-only (withoutM) / full unscoped closure (owlrl-style), all on
+    # the same sameAs-rich slice — size AND wall per arm, blowups vs merged
     expand_blowup = None
     try:
-        from re_shacl_spark.pipeline import fuse, fuse_expand
+        from re_shacl_spark.pipeline import fuse, fuse_expand, fuse_full
 
-        t_ab = time.time()
         g = kgbench.ablation_graph(spark, sf_dir)
+        t0 = time.time()
         merged_n = _force(fuse(spark, g, emit_sameas_provenance=False).triples)
+        t_merged = time.time() - t0
+        t0 = time.time()
         expanded_n = _force(fuse_expand(spark, g).triples)
+        t_expanded = time.time() - t0
+        t0 = time.time()
+        full_n = _force(fuse_full(spark, g).triples)
+        t_full = time.time() - t0
         expand_blowup = {
             "merged_triples": merged_n,
             "expanded_triples": expanded_n,
-            "blowup": round(expanded_n / max(merged_n, 1), 3),
-            "sec": round(time.time() - t_ab, 2),
+            "full_triples": full_n,
+            "expand_blowup": round(expanded_n / max(merged_n, 1), 3),
+            "full_blowup": round(full_n / max(merged_n, 1), 3),
+            "merged_sec": round(t_merged, 2),
+            "expanded_sec": round(t_expanded, 2),
+            "full_sec": round(t_full, 2),
         }
     except Exception:
         pass

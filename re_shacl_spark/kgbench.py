@@ -1530,6 +1530,50 @@ ORACLES["kg_fuse_expand"] = SQL_KG_FUSE_EXPAND
 
 
 # ---------------------------------------------------------------------------
+# full-materialization baseline (VERDICT r2 #6): the reference's THIRD method
+# arm — unscoped owlrl-style closure (inter_graph, re_shacl.py:754-775) over
+# the same sameAs-rich slice as the expand ablation, so the bench can report
+# the merged < expanded < full size ordering on identical input.
+# ---------------------------------------------------------------------------
+
+def q_kg_fuse_full(spark, sf_dir):
+    from re_shacl_spark.pipeline import fuse_full
+
+    res = fuse_full(spark, ablation_graph(spark, sf_dir))
+    return _spo(res.triples)
+
+
+_RDFS_RESOURCE = vocab.RDFS + "Resource"
+_RDF_PROPERTY = vocab.RDF + "Property"
+
+SQL_KG_FUSE_FULL = f"""WITH c AS (SELECT c_custkey AS k, c_nationkey AS n FROM customer),
+exp AS (
+  SELECT 'c:'||k AS s, 'kg:inNation' AS p, 'n:'||n AS o FROM c
+  UNION ALL SELECT 'cx:'||k, 'kg:inNation', 'n:'||n FROM c WHERE k%3=0
+  UNION ALL SELECT 'c:'||k, '{SAMEAS}', 'cx:'||k FROM c WHERE k%3=0
+  UNION ALL SELECT 'cx:'||k, '{SAMEAS}', 'c:'||k FROM c WHERE k%3=0
+  UNION ALL SELECT 'c:'||k, '{SAMEAS}', 'c:'||k FROM c WHERE k%3=0
+  UNION ALL SELECT 'cx:'||k, '{SAMEAS}', 'cx:'||k FROM c WHERE k%3=0
+  UNION ALL SELECT 'n:'||n, '{TYPE}', 'kg:Nation' FROM c
+  UNION ALL SELECT 'kg:inNation', '{RANGE}', 'kg:Nation'
+),
+terms(t) AS (
+  SELECT s FROM exp UNION SELECT o FROM exp UNION SELECT p FROM exp
+  UNION SELECT '{TYPE}' UNION SELECT '{_RDFS_RESOURCE}' UNION SELECT '{_RDF_PROPERTY}'
+),
+preds(t) AS (SELECT DISTINCT p FROM exp UNION SELECT '{TYPE}')
+SELECT DISTINCT s, p, o FROM (
+  SELECT s, p, o FROM exp
+  UNION ALL SELECT t, '{TYPE}', '{_RDFS_RESOURCE}' FROM terms
+  UNION ALL SELECT t, '{TYPE}', '{_RDF_PROPERTY}' FROM preds
+) u"""
+
+
+QUERIES["kg_fuse_full"] = q_kg_fuse_full
+ORACLES["kg_fuse_full"] = SQL_KG_FUSE_FULL
+
+
+# ---------------------------------------------------------------------------
 # ANN recall gate (VERDICT r1 #10): recall@k of LSH vs brute force, both
 # computed in-plan — turns the rows-only sim_lsh_topk into a quantitative,
 # driver-visible check.  The query RAISES if recall < 0.9, so a silent recall
@@ -1855,6 +1899,8 @@ ORACLES["v_length"] = SQL_V_LENGTH
 # ---------------------------------------------------------------------------
 
 _EVIDENCE_PRIORITY = [
+    # round-3 queries (no driver row can exist yet)
+    "kg_fuse_full",
     # round-2 queries absent from CORRECTNESS_r01/r02 (VERDICT r2, next #1)
     "v_shape30_report",
     "v_lubm_schema1",

@@ -384,3 +384,85 @@ def fuse_expand(
     if rep_map is None:
         rep_map = spark.createDataFrame([], "member string, rep string")
     return FusionResult(triples=cur, rep_map=rep_map, tbox=tbox, rounds=rounds, check_counts={})
+
+
+# ---------------------------------------------------------------------------
+# full-materialization baseline (reference: ``inter_graph`` /
+# ``inter_graph_rdfs``, ReSHACL/re_shacl.py:754-797 — owlrl
+# ``DeductiveClosure(CustomRDFSOWLRLSemantics).expand(g)`` over the WHOLE data
+# graph).  This is the third arm of the reference's method comparison: the
+# unscoped closure whose size/time blowup the "Re-" idea exists to avoid.
+# ---------------------------------------------------------------------------
+
+def _resource_typing(triples: DataFrame) -> DataFrame:
+    """The RDFS axiomatic-typing closure rows the scoped arms never emit —
+    rdfs4a (every subject is an rdfs:Resource), rdfs4b (every non-literal
+    object is an rdfs:Resource) and rdf1 (every predicate is an rdf:Property).
+
+    Computed in CLOSED FORM rather than by iteration: one application adds only
+    the fixed terms {rdf:type, rdfs:Resource, rdf:Property} to the term set, so
+    seeding those three up front reaches the fixpoint in a single pass.  One
+    distinct-union over three projections of the graph — a single shuffle,
+    partial-aggregated map-side; no driver collect."""
+    spark = triples.sparkSession
+    rdf_type, resource, prop = (
+        vocab.TYPE, vocab.RDFS + "Resource", vocab.RDF + "Property"
+    )
+    fixed = spark.createDataFrame([(rdf_type,), (resource,), (prop,)], ["t"])
+    terms = (
+        triples.select(F.col("s").alias("t"))
+        .unionByName(triples.filter(~F.col("is_lit")).select(F.col("o").alias("t")))
+        .unionByName(triples.select(F.col("p").alias("t")))
+        .unionByName(fixed)
+        .distinct()
+    )
+    preds = (
+        triples.select(F.col("p").alias("t"))
+        .unionByName(fixed.filter(F.col("t") == rdf_type))
+        .distinct()
+    )
+    rows = terms.select(
+        F.col("t").alias("s"), F.lit(rdf_type).alias("p"), F.lit(resource).alias("o")
+    ).unionByName(
+        preds.select(F.col("t").alias("s"), F.lit(rdf_type).alias("p"), F.lit(prop).alias("o"))
+    )
+    return rows.select(
+        "s", "p", "o",
+        F.lit(None).cast("struct<lex:string,dtype:string,lang:string>").alias("o_lit"),
+        F.lit(False).alias("is_lit"),
+        F.lit(None).cast("string").alias("src_url"),
+    )
+
+
+def fuse_full(
+    spark: SparkSession,
+    triples: DataFrame,
+    max_rounds: int = MAX_ROUNDS,
+    cc_salts: int = 8,
+) -> FusionResult:
+    """Full unscoped materialization: the expansion-semantics fixpoint (all
+    rules, sameAs copy-through, no merge — ``fuse_expand``) PLUS the
+    axiomatic resource/property typing layer (rdfs4a/4b, rdf1) that owlrl's
+    combined RDFS+OWL-RL closure materializes and both Re-SHACL arms skip.
+
+    The typing layer is applied once AFTER the rule fixpoint: typing rows can
+    feed no rule in the engine (their predicate is rdf:type over vocabulary
+    classes that carry no axioms), so post-closure union is equivalent to
+    interleaving — and costs one pass instead of one per round.  owl:sameAs
+    self-loops (eq-ref) are intentionally not emitted: the expansion arm
+    already materializes the complete per-component sameAs graph including
+    diagonals, which covers every node that participates in any equality.
+
+    Size ordering on any sameAs-bearing input: |fuse| < |fuse_expand| <
+    |fuse_full| — the ablation triple the reference reports via
+    ``inter_graph`` vs Re-SHACL (BENCH.md §ablation)."""
+    res = fuse_expand(spark, triples, max_rounds=max_rounds, cc_salts=cc_salts)
+    cur = res.triples
+    typing = _resource_typing(cur).join(cur, ["s", "p", "o"], "left_anti")
+    return FusionResult(
+        triples=cur.unionByName(typing),
+        rep_map=res.rep_map,
+        tbox=res.tbox,
+        rounds=res.rounds,
+        check_counts={},
+    )

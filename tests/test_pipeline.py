@@ -347,3 +347,35 @@ def test_expansion_ablation_matches_naive_preclosure(spark):
         (r.s, r.p, r.o, r.is_lit) for r in merged.triples.collect() if r.p != vocab.SAMEAS
     }
     assert proj == merged_set
+
+
+def test_full_materialization_arm(spark):
+    """fuse_full (the reference's inter_graph arm): expansion closure + the
+    rdfs4a/4b + rdf1 axiomatic typing layer, with the strict size ordering
+    merged < expanded < full on a sameAs-bearing input."""
+    from re_shacl_spark.pipeline import fuse_full
+
+    rows = parse_ttl_file(TEST_TTL)
+    t = triples_df(spark, rows)
+    full = fuse_full(spark, t)
+    got = {(r.s, r.p, r.o) for r in full.triples.collect()}
+
+    resource = vocab.RDFS + "Resource"
+    prop = vocab.RDF + "Property"
+    expanded = {(r.s, r.p, r.o) for r in fuse_expand(spark, t).triples.collect()}
+    # every subject, predicate and non-literal object of the expanded closure
+    # is typed rdfs:Resource; every predicate rdf:Property — and nothing else
+    subs = {s for s, _, _ in expanded}
+    preds = {p for p, in {(p,) for _, p, _ in expanded}} | {vocab.TYPE}
+    lits = {
+        (r.s, r.p, r.o) for r in fuse_expand(spark, t).triples.filter("is_lit").collect()
+    }
+    objs = {o for s, p, o in expanded if (s, p, o) not in lits}
+    terms = subs | preds | objs | {vocab.TYPE, resource, prop}
+    want = expanded | {(x, vocab.TYPE, resource) for x in terms} | {
+        (p, vocab.TYPE, prop) for p in preds
+    }
+    assert got == want
+
+    n_merged = fuse(spark, t, emit_sameas_provenance=False).triples.count()
+    assert n_merged < len(expanded) < len(got)

@@ -51,36 +51,62 @@ def test_incremental_exactly_once_and_batch_parity(spark, tmp_path):
     assert streamed.exceptAll(batch).isEmpty() and batch.exceptAll(streamed).isEmpty()
 
 
-def test_stateful_dedup_across_batches(spark, tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize(
+    "provider",
+    [
+        None,  # default HDFSBackedStateStoreProvider (in-heap)
+        # the 100 TB provider: state on local disk, not executor heap — the
+        # exact-dedup state grows one flag per distinct fingerprint forever
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    ],
+    ids=["hdfs-backed", "rocksdb"],
+)
+def test_stateful_dedup_across_batches(spark, tmp_path, provider):
     """applyInPandasWithState cross-batch dedup: each content fingerprint is
     emitted exactly once over the stream's LIFETIME — the second increment
     must drop docs whose content arrived in the first, with state restored
-    from the streaming checkpoint between separate queries."""
+    from the streaming checkpoint between separate queries.  Runs on both
+    state store providers (VERDICT r2 #10): RocksDB is the only viable store
+    once distinct-fingerprint state outgrows executor heap."""
     import os
 
     from re_shacl_spark.streaming.stateful import run_dedup_increment
 
-    docs_dir = str(tmp_path / "docs")
-    out_dir = str(tmp_path / "out")
-    ckpt = str(tmp_path / "ckpt")
-    os.makedirs(docs_dir)
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    if provider:
+        spark.conf.set(key, provider)
+    try:
+        docs_dir = str(tmp_path / "docs")
+        out_dir = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(docs_dir)
 
-    b1 = [(1, "alpha beta"), (2, "ALPHA   beta"), (3, "gamma")]
-    spark.createDataFrame(b1, "doc_id long, text string").write.parquet(
-        f"{docs_dir}/b1", mode="overwrite"
-    )
-    n1 = run_dedup_increment(spark, docs_dir + "/*", out_dir, ckpt)
-    # 1 and 2 normalize to the same fingerprint → min doc_id 1 survives
-    assert n1 == 2
-    got1 = {(r.doc_id) for r in spark.read.parquet(out_dir).collect()}
-    assert got1 == {1, 3}
+        b1 = [(1, "alpha beta"), (2, "ALPHA   beta"), (3, "gamma")]
+        spark.createDataFrame(b1, "doc_id long, text string").write.parquet(
+            f"{docs_dir}/b1", mode="overwrite"
+        )
+        n1 = run_dedup_increment(spark, docs_dir + "/*", out_dir, ckpt)
+        # 1 and 2 normalize to the same fingerprint → min doc_id 1 survives
+        assert n1 == 2
+        got1 = {(r.doc_id) for r in spark.read.parquet(out_dir).collect()}
+        assert got1 == {1, 3}
 
-    b2 = [(10, "alpha beta"), (11, "delta"), (12, "gamma")]
-    spark.createDataFrame(b2, "doc_id long, text string").write.parquet(
-        f"{docs_dir}/b2", mode="overwrite"
-    )
-    n2 = run_dedup_increment(spark, docs_dir + "/*", out_dir, ckpt)
-    # only 'delta' is new content; 10 and 12 duplicate batch-1 fingerprints
-    assert n2 == 1
-    got2 = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
-    assert got2 == {1, 3, 11}
+        b2 = [(10, "alpha beta"), (11, "delta"), (12, "gamma")]
+        spark.createDataFrame(b2, "doc_id long, text string").write.parquet(
+            f"{docs_dir}/b2", mode="overwrite"
+        )
+        n2 = run_dedup_increment(spark, docs_dir + "/*", out_dir, ckpt)
+        # only 'delta' is new content; 10 and 12 duplicate batch-1 fingerprints
+        assert n2 == 1
+        got2 = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+        assert got2 == {1, 3, 11}
+    finally:
+        if provider:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)

@@ -131,3 +131,11 @@ def test_fail_fast_stops_at_first_violating_shape(spark):
                    properties=[PropertyConstraint(path=EX + "status", max_count=9)])
     rep2 = validate_fail_fast(spark, g, [ok, ok])
     assert rep2.conforms and rep2.shapes_evaluated == 2
+
+    # two failing shapes landing in the SAME doubling chunk: the report must
+    # still name the first one in list order, with its violations only
+    bad2 = NodeShape("Bad2", target_classes=[EX + "Person"],
+                     properties=[PropertyConstraint(path=EX + "knows", min_count=7)])
+    rep3 = validate_fail_fast(spark, g, [ok, bad, bad2])
+    assert not rep3.conforms and rep3.shapes_evaluated == 2
+    assert {r.shape for r in rep3.violations.collect()} == {"Bad"}
