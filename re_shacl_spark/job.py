@@ -96,8 +96,21 @@ def construct_kg(
     # instead of silently serving stale checkpoints
     try:
         page_src = sorted(pages.inputFiles())
-    except Exception:  # non-file-backed frame (e.g. in-memory test data)
-        page_src = [pages.schema.json()]
+    except Exception:
+        page_src = []
+    if not page_src:
+        # non-file-backed frame (in-memory test data, views): fingerprint the
+        # CONTENT, not just the schema — same-schema-different-rows must
+        # invalidate too (ADVICE r2).  count + order-insensitive sum of row
+        # hashes: one scan, deterministic across partitionings; file-backed
+        # inputs never pay it (their file list is the digest)
+        digest = pages.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal accumulator: a sum of 64-bit hashes overflows long under
+            # ANSI; decimal(38,0) holds ~10^18 rows' worth without wrapping
+            F.sum(F.xxhash64(*pages.columns).cast("decimal(38,0)")).alias("h"),
+        ).first()
+        page_src = [pages.schema.json(), str(digest["n"]), str(digest["h"])]
     fp = input_fingerprint(
         page_src, alias_rows, sorted((entity_classes or {}).items()), tbox_rows, shapes
     )

@@ -45,11 +45,35 @@ def _term(col: F.Column) -> F.Column:
     return F.when(col.startswith("_:"), col).otherwise(F.concat(F.lit("<"), col, F.lit(">")))
 
 
+# chars the N-Triples IRIREF production forbids unescaped: controls/space and
+# <>"{}|^`\ — an IRI containing one of these would corrupt the line grammar
+_IRI_BAD = '[\\x00-\\x20<>"{}|^`\\\\]'
+
+
+def _checked_term(col: F.Column, what: str) -> F.Column:
+    """_term with an inline validity gate: a term that would break the line
+    grammar (e.g. an IRI containing '>' or a newline, a bnode id with
+    whitespace) fails the EXPORT JOB with a named error instead of writing a
+    silently corrupt line (ADVICE r2).  raise_error rides the same codegen
+    projection — zero extra scan."""
+    bad = F.when(col.startswith("_:"), col.rlike("[\\x00-\\x20]")).otherwise(
+        col.rlike(_IRI_BAD) | (F.length(col) == 0)
+    )
+    return F.when(
+        bad,
+        F.raise_error(F.concat(F.lit(f"un-serializable {what} term: "), col)),
+    ).otherwise(_term(col))
+
+
 XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
 
 
-def ntriples_lines(triples: DataFrame) -> DataFrame:
-    """One serialized line per triple — pure column algebra, fully parallel."""
+def ntriples_lines(triples: DataFrame, validate: bool = True) -> DataFrame:
+    """One serialized line per triple — pure column algebra, fully parallel.
+    ``validate`` (default on) fails the job on any grammar-breaking term
+    instead of emitting a corrupt line; pass False only for trusted re-exports
+    of already-round-tripped data."""
+    term = _checked_term if validate else (lambda c, _what: _term(c))
     lex = _esc(F.col("o_lit.lex"))
     lit = F.concat(
         F.lit('"'), lex, F.lit('"'),
@@ -63,9 +87,11 @@ def ntriples_lines(triples: DataFrame) -> DataFrame:
         )
         .otherwise(F.lit("")),
     )
-    obj = F.when(F.col("is_lit"), lit).otherwise(_term(F.col("o")))
+    obj = F.when(F.col("is_lit"), lit).otherwise(term(F.col("o"), "object"))
     return triples.select(
-        F.concat_ws(" ", _term(F.col("s")), _term(F.col("p")), obj, F.lit(".")).alias("line")
+        F.concat_ws(
+            " ", term(F.col("s"), "subject"), term(F.col("p"), "predicate"), obj, F.lit(".")
+        ).alias("line")
     )
 
 
@@ -79,14 +105,39 @@ _LINE_RE = r"^(<[^>]*>|_:\S+)\s+(<[^>]*>)\s+(.*?)\s*\.\s*$"
 _LIT_RE = r'^"(.*)"(?:@([A-Za-z0-9-]+)|\^\^<([^>]*)>)?$'
 
 
-def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
+def read_ntriples(
+    spark: SparkSession, path: str, on_malformed: str = "error"
+) -> DataFrame:
     """Distributed N-Triples source: regex extraction per line, engine triple
     layout out.  The driver-side turtle parser (model/ttl.py) stays for
-    prefix-laden shape graphs; THIS is the corpus-scale load path."""
+    prefix-laden shape graphs; THIS is the corpus-scale load path.
+
+    Lines the grammar can't parse (empty subject/predicate extraction, quoted
+    object that fails the literal production) previously flowed through as
+    empty-string terms — silent corruption (ADVICE r2).  Now ``on_malformed``:
+    'error' (default) fails the read job naming the offending line; 'drop'
+    filters them out — count the drop as input_lines - df.count() when
+    ingesting untrusted dumps."""
+    if on_malformed not in ("error", "drop"):
+        raise ValueError(f"on_malformed must be 'error' or 'drop', got {on_malformed!r}")
     raw = spark.read.text(path).filter(F.trim("value") != "")
     s = F.regexp_extract("value", _LINE_RE, 1)
     p = F.regexp_extract("value", _LINE_RE, 2)
     onode = F.regexp_extract("value", _LINE_RE, 3)
+    malformed = (
+        (s == F.lit("")) | (p == F.lit(""))
+        | (onode.startswith('"') & ~onode.rlike(_LIT_RE))
+    )
+    if on_malformed == "drop":
+        raw = raw.filter(~malformed)
+    else:
+        raw = raw.withColumn(
+            "value",
+            F.when(
+                malformed,
+                F.raise_error(F.concat(F.lit("malformed N-Triples line: "), F.col("value"))),
+            ).otherwise(F.col("value")),
+        )
     # strip <> from IRIs (bnodes pass through)
     de_iri = lambda c: F.when(  # noqa: E731
         c.startswith("<"), c.substr(F.lit(2), F.length(c) - 2)

@@ -57,6 +57,22 @@ def test_resume_identical_and_no_recompute(spark, tmp_path):
     assert int(store.stage_meta("s4_fused")["rounds"]) == r1.rounds
 
 
+def test_resume_invalidates_on_same_schema_different_data(spark, tmp_path):
+    """Non-file-backed inputs fingerprint their CONTENT (ADVICE r2): resuming
+    with a same-schema corpus of different rows must recompute, not serve the
+    previous run's checkpoints."""
+    store = CheckpointStore(spark, str(tmp_path / "ck"))
+    pages_a = corpus.generate_pages(spark, N_PAGES, seed=11)
+    r1 = construct_kg(spark, pages_a, corpus.alias_rows(), store=store)
+    pages_b = corpus.generate_pages(spark, N_PAGES // 2, seed=12)
+    r2 = construct_kg(spark, pages_b, corpus.alias_rows(), store=store)
+    assert r1.metrics["fused_triples"] != r2.metrics["fused_triples"]
+    # and the smaller corpus really flowed through: direct run parity
+    r3 = construct_kg(spark, corpus.generate_pages(spark, N_PAGES // 2, seed=12),
+                      corpus.alias_rows())
+    assert r2.metrics["fused_triples"] == r3.metrics["fused_triples"]
+
+
 def test_determinism_across_runs(spark):
     a = _run(spark)
     b = _run(spark)

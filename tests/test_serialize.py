@@ -53,3 +53,41 @@ def test_lines_are_valid_turtle(spark):
     text = "\n".join(r.line for r in ntriples_lines(df).collect())
     re_parsed = triples_df(spark, parse_ttl(text))
     assert graphs_equivalent(df, re_parsed)
+
+
+def test_write_rejects_grammar_breaking_iri(spark):
+    """An IRI containing '>' (or a newline) would corrupt the line grammar —
+    the export must FAIL, not write a silently broken file (ADVICE r2)."""
+    import pytest
+
+    bad = spark.createDataFrame(
+        [("http://x.org/a>b", "http://x.org/p", "http://x.org/o")], ["s", "p", "o"]
+    ).selectExpr(
+        "s", "p", "o",
+        "cast(null as struct<lex:string,dtype:string,lang:string>) as o_lit",
+        "false as is_lit", "cast(null as string) as src_url",
+    )
+    with pytest.raises(Exception, match="un-serializable subject"):
+        ntriples_lines(bad).collect()
+    # validate=False keeps the trusted-re-export fast path available
+    assert ntriples_lines(bad, validate=False).count() == 1
+
+
+def test_read_malformed_lines_error_and_drop(spark, tmp_path):
+    """A line the grammar can't parse must raise by default (previously it
+    yielded empty s/p/o — silent corruption), and 'drop' must skip exactly
+    the bad lines."""
+    import os
+
+    import pytest
+
+    path = os.path.join(str(tmp_path), "mixed.nt")
+    good = '<http://x/a> <http://x/p> <http://x/b> .'
+    bad1 = 'not a triple at all'
+    bad2 = '<http://x/a> <http://x/p> "unterminated .'
+    with open(path, "w") as f:
+        f.write("\n".join([good, bad1, bad2]) + "\n")
+    with pytest.raises(Exception, match="malformed N-Triples line"):
+        read_ntriples(spark, path).collect()
+    kept = read_ntriples(spark, path, on_malformed="drop").collect()
+    assert [(r.s, r.p, r.o) for r in kept] == [("http://x/a", "http://x/p", "http://x/b")]
