@@ -188,6 +188,7 @@ def validate(
     tbox: TBoxIndex | None = None,
     max_ref_depth: int | None = None,
     _ref_sets: dict[str, DataFrame] | None = None,
+    _extra_focus: dict[str, DataFrame] | None = None,
 ) -> ValidationReport:
     pc_rows = _pc_rows(shapes)
     if not pc_rows:
@@ -199,6 +200,20 @@ def validate(
     base_pcs = pcs.filter(F.col("branch_idx").isNull())
 
     targets = _targets(spark, triples, shapes, tbox)
+    if _extra_focus:
+        # sh:node conformance evaluation (from _resolve_node_refs): referenced
+        # shapes are checked over targets ∪ values-at-referencing-paths, so a
+        # value that satisfies the shape's constraints conforms even when it
+        # is not typed with the shape's target class (SHACL/pyshacl parity —
+        # ADVICE r2).  Reporting calls never pass this: violations stay
+        # target-scoped per spec.
+        extra_parts = [
+            df.select(F.lit(sid).alias("shape_id"), F.col("node").alias("focus"))
+            for sid, df in sorted(_extra_focus.items())
+        ]
+        for x in extra_parts:
+            targets = targets.unionByName(x)
+        targets = targets.distinct()
     # focus × constraint grid for this shape's targets
     tp = targets.join(base_pcs.select("pc_id", "shape_id"), "shape_id")
 
@@ -361,6 +376,49 @@ def _ref_dag_depth(shapes: list[NodeShape]) -> int:
         return len(shapes) + 1
 
 
+def _ref_value_sets(
+    spark: SparkSession,
+    triples: DataFrame,
+    shapes: list[NodeShape],
+    tbox: TBoxIndex | None,
+    by_id: dict[str, NodeShape],
+) -> dict[str, DataFrame]:
+    """Per referenced shape: the distinct RESOURCE values appearing at any
+    path that carries a sh:node reference to it — the nodes whose conformance
+    sh:node actually asks about.  One broadcast path-map join over triples
+    covers every (path, ref) pair.  Self-constraint refs (path None) resolve
+    to the referencing shape's own targets.  Literal values at sh:node paths
+    stay outside the evaluated set (a literal focus has no outgoing edges in
+    the triple layout; documented deviation — they evaluate non-conforming
+    unless the ref is vacuous)."""
+    pairs: set[tuple[str, str]] = set()
+    self_refs: dict[str, list[NodeShape]] = {}
+    for s in shapes:
+        for pc in _all_pcs(s):
+            for x in [pc] + pc.or_branches:
+                if x.node_ref and x.node_ref in by_id:
+                    if pc.path is None:
+                        self_refs.setdefault(x.node_ref, []).append(s)
+                    else:
+                        pairs.add((pc.path, x.node_ref))
+    out: dict[str, DataFrame] = {}
+    if pairs:
+        pm = F.broadcast(spark.createDataFrame(sorted(pairs), "p string, _ref string"))
+        vals = (
+            triples.join(pm, "p")
+            .filter(~F.col("is_lit"))
+            .select("_ref", F.col("o").alias("node"))
+            .distinct()
+            .localCheckpoint(eager=True)  # one scan, reused by every per-ref filter
+        )
+        for ref in sorted({r for _, r in pairs}):
+            out[ref] = vals.filter(F.col("_ref") == ref).select("node")
+    for ref, referencing in sorted(self_refs.items()):
+        t = _targets(spark, triples, referencing, tbox).select(F.col("focus").alias("node"))
+        out[ref] = out[ref].unionByName(t).distinct() if ref in out else t
+    return out
+
+
 def _resolve_node_refs(
     spark: SparkSession,
     triples: DataFrame,
@@ -375,10 +433,13 @@ def _resolve_node_refs(
     against sweep k-1's conforming sets (sweep 1: refs vacuous — the
     optimistic start).  Each sweep can only shrink the sets, so cyclic shape
     graphs converge downward; acyclic graphs are exact after ``depth`` sweeps
-    (the reference DAG depth).  A shape's set is computed over its own
-    targets, so this is target-scoped conformance (SURVEY §2.9)."""
+    (the reference DAG depth).  A referenced shape is evaluated over its
+    targets ∪ the values at paths referencing it (SHACL semantics: sh:node
+    asks whether the VALUE conforms, target-typed or not — ADVICE r2);
+    reported violations remain target-scoped."""
     by_id = {s.shape_id: s for s in shapes}
     resolvable = [sid for sid in ref_shapes if sid in by_id]
+    ref_vals = _ref_value_sets(spark, triples, shapes, tbox, by_id)
 
     def refs_of(sid: str) -> list[str]:
         out = []
@@ -389,12 +450,15 @@ def _resolve_node_refs(
         return out
 
     def conforming_sets(sids: list[str], ref_sets: dict[str, DataFrame]) -> dict[str, DataFrame]:
-        # conformance against ALL nodes typed with each shape's target class
-        # (sh:node checks membership of the value in the conforming set).
-        # One validate() covers the whole batch — its violations frame is
-        # checkpointed, so the per-shape splits below are cheap filters
+        # conformance over targets ∪ referenced values (sh:node checks
+        # membership of the value in the conforming set, so every value the
+        # data actually references must be evaluated, not just target-typed
+        # nodes).  One validate() covers the whole batch — its violations
+        # frame is checkpointed, so the per-shape splits below are cheap
+        # filters
         batch = [by_id[sid] for sid in sids]
-        rep = validate(spark, triples, batch, tbox, _ref_sets=ref_sets)
+        extra = {sid: ref_vals[sid] for sid in sids if sid in ref_vals}
+        rep = validate(spark, triples, batch, tbox, _ref_sets=ref_sets, _extra_focus=extra)
         tgts = _targets(spark, triples, batch, tbox)
         out = {}
         for sid in sids:
@@ -403,8 +467,12 @@ def _resolve_node_refs(
                 .select(F.col("focus").alias("node"))
                 .distinct()
             )
-            tgt = tgts.filter(F.col("shape_id") == sid).select(F.col("focus").alias("node"))
-            out[sid] = tgt.join(bad, "node", "left_anti").localCheckpoint(eager=True)
+            evaluated = tgts.filter(F.col("shape_id") == sid).select(
+                F.col("focus").alias("node")
+            )
+            if sid in ref_vals:
+                evaluated = evaluated.unionByName(ref_vals[sid]).distinct()
+            out[sid] = evaluated.join(bad, "node", "left_anti").localCheckpoint(eager=True)
         return out
 
     # acyclic (the committed workloads): resolve in dependency order, each

@@ -139,3 +139,33 @@ def test_fail_fast_stops_at_first_violating_shape(spark):
     rep3 = validate_fail_fast(spark, g, [ok, bad, bad2])
     assert not rep3.conforms and rep3.shapes_evaluated == 2
     assert {r.shape for r in rep3.violations.collect()} == {"Bad"}
+
+
+def test_node_ref_value_not_target_typed_conforms(spark):
+    """SHACL semantics (ADVICE r2): sh:node asks whether the VALUE conforms to
+    the referenced shape's constraints — membership in the shape's target
+    class is not required.  a1 satisfies AgeShape without being Person-typed."""
+    rows = [
+        iri_triple(EX + "p1", vocab.TYPE, EX + "Person"),
+        iri_triple(EX + "p1", EX + "advisor", EX + "a1"),  # conforms, untyped
+        iri_triple(EX + "p1", EX + "advisor", EX + "a2"),  # no age → ref fails
+        lit_triple(EX + "a1", EX + "age", "50", XSD_INT),
+    ]
+    g = triples_df(spark, rows)
+    ref = NodeShape(
+        "AgeShape",
+        target_classes=[EX + "Person"],
+        properties=[PropertyConstraint(path=EX + "age", datatype=XSD_INT, min_count=1)],
+    )
+    outer = NodeShape(
+        "S",
+        target_classes=[EX + "Person"],
+        properties=[PropertyConstraint(path=EX + "advisor", node_ref="AgeShape")],
+    )
+    got, _ = _viol(spark, g, [outer, ref])
+    # AgeShape still REPORTS only on its targets (p1, ageless); a1's
+    # conformance is evaluated but never reported; a2 fails the reference
+    assert got == {
+        (EX + "p1", "minCount", "0"),
+        (EX + "p1", "value", EX + "a2"),
+    }
