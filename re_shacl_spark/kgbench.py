@@ -1212,19 +1212,81 @@ round(sqrt(avg(v*v)), 6) AS rms, max(abs(v))::INT AS peak
 FROM vals GROUP BY 1, 3"""
 
 
+# e2e pipeline config over the documents front door: every stage has a closed
+# form in DuckDB, so the WHOLE DAG is full-oracle (VERDICT r2 missing #4)
+_E2E_CLASSES = {e: "kg:class/Topic" for _, e, _ in MENTION_ALIASES}
+_E2E_TBOX = [
+    ("kg:class/Topic", SUBCLASS, "kg:class/Entity"),
+    (_KG_NS + "mentions", DOMAIN, "kg:class/Page"),
+]
+
+
+def _e2e_shapes() -> list[NodeShape]:
+    return [
+        NodeShape(
+            "sh:TopicShape",
+            target_classes=["kg:class/Entity"],
+            properties=[
+                PropertyConstraint(
+                    path=_KG_NS + "surface", min_count=1, node_kind=vocab.SH + "Literal"
+                )
+            ],
+        ),
+        NodeShape(
+            "sh:PageShape",
+            target_classes=["kg:class/Page"],
+            properties=[PropertyConstraint(path=_KG_NS + "mentions", min_count=1, max_count=2)],
+        ),
+    ]
+
+
 def q_kg_pipeline_e2e(spark, sf_dir):
-    """The whole north-star DAG on a generated 2k-page corpus: conformant
-    triples out (rows-only; stage semantics are oracle-checked piecewise via
-    kg_extract_text / kg_mentions / kg_emit_triples / kg_fuse / v_*)."""
-    from re_shacl_spark import corpus
+    """The whole north-star DAG — extract → mention detect → emit → fuse
+    (rules + sameAs CC + min-IRI rewrite) → SHACL conformant filter — over the
+    documents front door, so each stage's closed form composes into ONE DuckDB
+    oracle: mention regex counts (kg_mentions), the emitted triple set
+    (kg_emit_triples), per-alias two-node sameAs components with least() reps,
+    domain/cax-sco derivations, and the maxCount>2 page exclusion."""
     from re_shacl_spark.job import construct_kg
 
-    pages = corpus.generate_pages(spark, 2000, seed=13)
-    res = construct_kg(spark, pages, corpus.alias_rows())
+    pages = _doc_pages(spark, sf_dir)
+    res = construct_kg(
+        spark,
+        pages,
+        MENTION_ALIASES,
+        entity_classes=_E2E_CLASSES,
+        tbox_rows=_E2E_TBOX,
+        shapes=_e2e_shapes(),
+    )
     return _spo(res.conformant)
 
 
+SQL_KG_E2E = f"""WITH m0 AS ({_sql_mentions_cte()}),
+m AS (SELECT DISTINCT url, alias, entity FROM m0 WHERE n > 0),
+-- per-alias sameAs component {{mention_iri, entity}}: rep = lexicographic min
+am AS (SELECT DISTINCT alias, entity,
+       '{_MENTION_PREFIX}'||alias AS mid,
+       least('{_MENTION_PREFIX}'||alias, entity) AS rep
+       FROM m),
+pm AS (SELECT DISTINCT '{_PAGE_PREFIX}'||sha256(m.url) AS pid, am.rep
+       FROM m JOIN am USING (alias)),
+-- sh:PageShape maxCount 2 on kg:mentions: violating page subjects drop out
+viol AS (SELECT pid FROM (SELECT pid, count(DISTINCT rep) c FROM pm GROUP BY pid) WHERE c > 2),
+fused(s, p, o) AS (
+  SELECT pid, '{_KG_NS}mentions', rep FROM pm
+  UNION SELECT rep, '{_KG_NS}surface', alias FROM am
+  UNION SELECT rep, '{SAMEAS}', CASE WHEN rep = mid THEN entity ELSE mid END FROM am
+  UNION SELECT rep, '{TYPE}', 'kg:class/Topic' FROM am
+  UNION SELECT rep, '{TYPE}', 'kg:class/Entity' FROM am
+  UNION SELECT pid, '{TYPE}', 'kg:class/Page' FROM pm
+  UNION SELECT 'kg:class/Topic', '{SUBCLASS}', 'kg:class/Entity'
+  UNION SELECT '{_KG_NS}mentions', '{DOMAIN}', 'kg:class/Page'
+)
+SELECT DISTINCT s, p, o FROM fused WHERE s NOT IN (SELECT pid FROM viol)"""
+
+
 QUERIES["kg_pipeline_e2e"] = q_kg_pipeline_e2e
+ORACLES["kg_pipeline_e2e"] = SQL_KG_E2E
 QUERIES["mm_image_features"] = q_mm_image_features
 QUERIES["mm_audio_stats"] = q_mm_audio_stats
 ORACLES["mm_image_features"] = SQL_MM_IMAGE
