@@ -44,6 +44,23 @@ MAX_ROUNDS = 25  # reference caps at 25_000 (closure_engine.py:39) — log-round
 #                  plus closed TBox maps converge in a handful of rounds.
 
 
+def _trace_t() -> float:
+    import time
+
+    return time.time()
+
+
+def _trace(t0: float, msg: str) -> None:
+    """Opt-in fixpoint phase timing (SPARK_GRAFT_TRACE=1): one stderr line per
+    round phase — the tool that localizes job-barrier cost at toy scale."""
+    import os
+    import sys
+    import time
+
+    if os.environ.get("SPARK_GRAFT_TRACE"):
+        print(f"[fuse] {msg}: {time.time() - t0:.2f}s", file=sys.stderr)
+
+
 @dataclass
 class FusionResult:
     triples: DataFrame          # fused, canonicalized triple store
@@ -145,15 +162,29 @@ def fuse(
     # these, the driver-closed maps go stale and must be rebuilt from the
     # rewritten graph (classes/properties CAN be sameAs-merged — eq-rep-p)
     tbox_terms = sorted({t for row in tbox_rows for t in row})
+    lin_made_trans = False  # linear rules emitted a trans-pred edge last round
     for rounds in range(1, max_rounds + 1):
         progressed = False
+        _rt = _trace_t()
 
         derived = engine.derive_linear(delta)
+        # Re-run the transitive closure only when something can EXTEND it: a
+        # merge (equated nodes join chains) or a trans-pred edge emitted by the
+        # LINEAR rules last round (e.g. subPropertyOf into a transitive
+        # property).  The closure's own output rows do NOT re-trigger —
+        # closure(closure(G)) = closure(G) — which previously cost one full
+        # closure + full-graph anti-join per confirmation round.
         include_trans = trans_props and (
-            rounds == 1
-            or merged_last
-            or not delta.filter(F.col("p").isin(trans_props)).isEmpty()
+            rounds == 1 or merged_last or lin_made_trans
         )
+        if trans_props:
+            # cheap delta-fed probe on the linear frame BEFORE the closure is
+            # unioned in — decides next round's trigger.  Round 1's delta is
+            # the whole graph (probe not cheap): assume true conservatively.
+            lin_made_trans = (
+                rounds == 1
+                or not derived.filter(F.col("p").isin(trans_props)).isEmpty()
+            )
         if include_trans:
             derived = derived.unionByName(engine.rule_transitive(cur))
         # For linear-only confirmation rounds, probe derived BEFORE the
@@ -169,6 +200,8 @@ def fuse(
             derived = derived.dropDuplicates(["s", "p", "o"])
             new = derived.join(cur, ["s", "p", "o"], "left_anti").localCheckpoint(eager=True)
             has_new = not new.isEmpty()
+        _trace(_rt, f"r{rounds} derive+anti trans={bool(include_trans)} has_new={has_new}")
+        _rt = _trace_t()
         if has_new:
             progressed = True
             # both children are materialized — a plain union keeps lineage O(1)
@@ -178,6 +211,16 @@ def fuse(
         # sameAs closure + canonical rewrite: needed on round 1, after new
         # facts, or after a merge (merging can enable J9/J10 anew)
         need_sameas = rounds == 1 or has_new or merged_last
+        if need_sameas and rounds > 1 and not merged_last and not (
+            tbox.functional or tbox.inverse_functional
+        ):
+            # without functional/inverse-functional axioms the only edge
+            # source is explicit owl:sameAs rows, and past rounds already
+            # processed everything outside this round's delta — one limit-1
+            # probe on the checkpointed delta replaces the full CC machinery
+            # (derive_sameas scan + dedup + component probe jobs) on rounds
+            # that cannot merge anything
+            need_sameas = has_new and not new.filter(F.col("p") == vocab.SAMEAS).isEmpty()
         merged_last = False
         if need_sameas:
             # connected_components handles empty edge frames itself; one
@@ -236,6 +279,7 @@ def fuse(
                         cur = apply_static_map(cur, static).localCheckpoint(eager=True)
                     new = cur  # next round re-derives over the full graph
                     merged_last = True  # rebuild must force the next round
+            _trace(_rt, f"r{rounds} sameas+cc reps={n_reps if need_sameas else 0}")
         if not progressed:
             break
         if not has_new and not merged_last:
