@@ -1036,6 +1036,80 @@ SQL_TEXT_FINGERPRINT = f"""WITH h AS (SELECT doc_id, md5({_SQL_NORM}) m FROM doc
 SELECT doc_id, m AS fp_md5, ('0x'||substring(m,1,15))::BIGINT AS fp64 FROM h"""
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition filters (dup-2/3-gram fractions, top-2-gram
+    character share) — the pretraining-quality knob exact dedup can't see."""
+    out = TS.repetition_stats(_read(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "n_2grams", "dup_2gram_frac", "dup_3gram_frac",
+        "top_2gram", F.col("top_2gram_count").cast("long").alias("top_2gram_count"),
+        "top_2gram_char_frac",
+    )
+
+
+SQL_TEXT_REPETITION = r"""WITH b AS (
+  SELECT doc_id, string_split_regex(lower(trim(coalesce(text,''))), '\s+') w,
+         length(lower(trim(coalesce(text,'')))) nc
+  FROM documents
+),
+g2 AS (SELECT doc_id, array_to_string(w[i+1:i+2], ' ') g
+       FROM (SELECT doc_id, w, unnest(generate_series(0, len(w)-2)) i FROM b WHERE len(w) >= 2)),
+g3 AS (SELECT doc_id, array_to_string(w[i+1:i+3], ' ') g
+       FROM (SELECT doc_id, w, unnest(generate_series(0, len(w)-3)) i FROM b WHERE len(w) >= 3)),
+a2 AS (SELECT doc_id, count(*) n2,
+              round(1.0 - count(DISTINCT g)::DOUBLE / count(*), 6) dup2 FROM g2 GROUP BY 1),
+a3 AS (SELECT doc_id, round(1.0 - count(DISTINCT g)::DOUBLE / count(*), 6) dup3 FROM g3 GROUP BY 1),
+t2 AS (SELECT doc_id, g, c FROM (
+         SELECT doc_id, g, count(*) c,
+                row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, g ASC) rn
+         FROM g2 GROUP BY doc_id, g) WHERE rn = 1)
+SELECT b.doc_id,
+  coalesce(a2.n2, 0)::INT AS n_2grams,
+  coalesce(a2.dup2, 0.0) AS dup_2gram_frac,
+  coalesce(a3.dup3, 0.0) AS dup_3gram_frac,
+  coalesce(t2.g, '') AS top_2gram,
+  coalesce(t2.c, 0)::BIGINT AS top_2gram_count,
+  CASE WHEN b.nc > 0 THEN round(coalesce(t2.c, 0) * length(coalesce(t2.g, ''))::DOUBLE / b.nc, 6)
+       ELSE 0.0 END AS top_2gram_char_frac
+FROM b LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id) LEFT JOIN t2 USING (doc_id)"""
+
+
+def _docs_with_pii(spark, sf_dir):
+    """documents + deterministically planted emails (doc_id % 5) and
+    E.164-style phones (doc_id % 7) so the scrubber has real positives."""
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    t = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(t, F.lit(" contact user"), F.col("doc_id").cast("string"),
+                 F.lit("@example.com now")),
+    ).otherwise(t)
+    t = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(t, F.lit(" call +1415555"),
+                 F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                 F.lit(" today")),
+    ).otherwise(t)
+    return d.select("doc_id", t.alias("text"))
+
+
+def q_text_pii_scrub(spark, sf_dir):
+    return TS.pii_scrub(_docs_with_pii(spark, sf_dir))
+
+
+SQL_TEXT_PII = f"""WITH base AS (SELECT doc_id, coalesce(text,'') t FROM documents),
+p1 AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
+         THEN t || ' contact user' || doc_id::varchar || '@example.com now' ELSE t END t FROM base),
+p2 AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0
+         THEN t || ' call +1415555' || lpad((doc_id % 10000)::varchar, 4, '0') || ' today' ELSE t END t FROM p1),
+ne AS (SELECT doc_id, t, len(regexp_extract_all(t, '{TS.EMAIL_RE}'))::INT n_emails,
+              regexp_replace(t, '{TS.EMAIL_RE}', '<EMAIL>', 'g') t1 FROM p2)
+SELECT doc_id, n_emails,
+  len(regexp_extract_all(t1, '{TS.PHONE_RE}'))::INT AS n_phones,
+  regexp_replace(t1, '{TS.PHONE_RE}', '<PHONE>', 'g') AS text_clean
+FROM ne"""
+
+
 # ---------------------------------------------------------------------------
 # relational aggregate (A4-style single-pass groupBy; integer-exact values)
 # ---------------------------------------------------------------------------
@@ -1287,6 +1361,10 @@ SELECT DISTINCT s, p, o FROM fused WHERE s NOT IN (SELECT pid FROM viol)"""
 
 QUERIES["kg_pipeline_e2e"] = q_kg_pipeline_e2e
 ORACLES["kg_pipeline_e2e"] = SQL_KG_E2E
+QUERIES["text_repetition"] = q_text_repetition
+ORACLES["text_repetition"] = SQL_TEXT_REPETITION
+QUERIES["text_pii_scrub"] = q_text_pii_scrub
+ORACLES["text_pii_scrub"] = SQL_TEXT_PII
 QUERIES["mm_image_features"] = q_mm_image_features
 QUERIES["mm_audio_stats"] = q_mm_audio_stats
 ORACLES["mm_image_features"] = SQL_MM_IMAGE
@@ -1963,6 +2041,8 @@ ORACLES["v_length"] = SQL_V_LENGTH
 _EVIDENCE_PRIORITY = [
     # round-3 queries (no driver row can exist yet)
     "kg_fuse_full",
+    "text_repetition",
+    "text_pii_scrub",
     # round-2 queries absent from CORRECTNESS_r01/r02 (VERDICT r2, next #1)
     "v_shape30_report",
     "v_lubm_schema1",

@@ -112,3 +112,90 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         h.alias("fp_md5"),
         F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("fp64"),
     )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition filters on word n-grams (the corpus has no line
+    structure, so n-grams are the repetition unit): duplicate-2/3-gram
+    fractions and the most-frequent 2-gram's character share.  Ties on the top
+    2-gram break to the lexicographically smallest gram (matching the oracle's
+    ORDER BY count DESC, gram ASC).  Pure column algebra — the per-doc gram
+    scan rides whole-stage codegen; no shuffle, no UDF."""
+    t = F.lower(F.trim(F.coalesce(F.col(text_col), F.lit(""))))
+    words = F.split(t, TOKEN_SPLIT)
+    n_chars = F.length(t)
+
+    def grams(n: int) -> F.Column:
+        return F.when(
+            F.size(words) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - n + 1),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(words, i + k) for k in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def dup_frac(g: F.Column) -> F.Column:
+        n = F.size(g)
+        return F.when(
+            n > 0, F.round(1.0 - F.size(F.array_distinct(g)) / n, 6)
+        ).otherwise(F.lit(0.0))
+
+    g2, g3 = grams(2), grams(3)
+    # longest run over the sorted gram array = max count; first-best keeps the
+    # lexicographically smallest gram among ties (ascending scan, strict >)
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+        F.lit("").alias("best_gram"),
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        better = run > acc["best"]
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc["best"]).alias("best"),
+            F.when(better, x).otherwise(acc["best_gram"]).alias("best_gram"),
+        )
+
+    top2 = F.aggregate(F.array_sort(g2), init, step)
+    top2_chars = top2["best"] * F.length(top2["best_gram"])
+    return df.select(
+        "doc_id",
+        F.size(g2).alias("n_2grams"),
+        dup_frac(g2).alias("dup_2gram_frac"),
+        dup_frac(g3).alias("dup_3gram_frac"),
+        top2["best_gram"].alias("top_2gram"),
+        top2["best"].alias("top_2gram_count"),
+        F.when(n_chars > 0, F.round(top2_chars / n_chars, 6))
+        .otherwise(F.lit(0.0))
+        .alias("top_2gram_char_frac"),
+    )
+
+
+# PII patterns kept inside RE2 ∩ java.util.regex so Spark and the DuckDB
+# oracle replace the same spans: no backreferences, no lookaround
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+[0-9]{7,15}"
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Count and redact emails / E.164-style phone numbers:
+    <EMAIL> / <PHONE> placeholders, counts per doc for audit rollups.
+    regexp_replace is global on both engines; emails are replaced first so a
+    phone-like digit run inside an address is not double-counted."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0))
+    no_email = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    n_phones = F.size(F.regexp_extract_all(no_email, F.lit(PHONE_RE), 0))
+    clean = F.regexp_replace(no_email, PHONE_RE, "<PHONE>")
+    return df.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        clean.alias("text_clean"),
+    )

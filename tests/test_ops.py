@@ -214,3 +214,43 @@ def test_minhash_lsh_with_scaled_params(spark):
     pairs = {(r.id_a, r.id_b) for r in
              D.minhash_lsh_candidates(d, k=k, bands=bands).collect()}
     assert (0, 3) in pairs
+
+
+def test_repetition_stats_hand_oracle(spark):
+    d = _docs(spark, [
+        "a b a b a b",        # 2-grams: [a b, b a, a b, b a, a b] -> top 'a b' x3
+        "u v w x y",          # all distinct
+        "",                   # degenerate
+        "solo",               # < 2 words
+    ])
+    rows = {r.doc_id: r for r in TS.repetition_stats(d).collect()}
+    r0 = rows[0]
+    assert r0.n_2grams == 5 and r0.top_2gram == "a b" and r0.top_2gram_count == 3
+    # 5 grams, 2 distinct -> dup frac 0.6; chars = len('a b a b a b') = 11
+    assert abs(r0.dup_2gram_frac - 0.6) < 1e-9
+    assert abs(r0.top_2gram_char_frac - round(3 * 3 / 11, 6)) < 1e-9
+    r1 = rows[1]
+    assert r1.n_2grams == 4 and r1.dup_2gram_frac == 0.0 and r1.dup_3gram_frac == 0.0
+    # distinct grams: run-scan keeps the lexicographically smallest on ties
+    assert r1.top_2gram == "u v" and r1.top_2gram_count == 1
+    for i in (2, 3):
+        r = rows[i]
+        assert r.n_2grams == 0 and r.top_2gram == "" and r.top_2gram_count == 0
+        assert r.dup_2gram_frac == 0.0 and r.top_2gram_char_frac == 0.0
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    d = _docs(spark, [
+        "mail me at jane.doe+x@sub.example.org or call +4915112345678 ok",
+        "two mails a@b.io c.d@e-f.co and none else",
+        "plus sign + but no number, short +123456 stays",
+        "",
+    ])
+    rows = {r.doc_id: r for r in TS.pii_scrub(d).collect()}
+    assert rows[0].n_emails == 1 and rows[0].n_phones == 1
+    assert rows[0].text_clean == "mail me at <EMAIL> or call <PHONE> ok"
+    assert rows[1].n_emails == 2 and rows[1].n_phones == 0
+    assert rows[1].text_clean == "two mails <EMAIL> <EMAIL> and none else"
+    # +123456 is only 6 digits — below the E.164 floor, not redacted
+    assert rows[2].n_emails == 0 and rows[2].n_phones == 0
+    assert rows[3].text_clean == ""
