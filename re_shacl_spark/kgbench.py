@@ -2029,6 +2029,386 @@ ORACLES["v_pattern"] = SQL_V_PATTERN
 ORACLES["v_length"] = SQL_V_LENGTH
 
 
+
+# ---------------------------------------------------------------------------
+# SHACL round-3 constraint kinds: logical combinators (sh:and / sh:xone),
+# qualified value-shape counts, numeric range facets, language facets,
+# property-pair constraints, and closed shapes — the remaining SHACL Core
+# constraint components a user migrating real shapes graphs needs
+# (validate/engine.py: _branch_groups / _pair_violations / _closed_violations)
+# ---------------------------------------------------------------------------
+
+
+def _lang_rows(df: DataFrame, s, p, lex, lang) -> DataFrame:
+    """Language-tagged literal rows (dtype null, lang set — rdf:langString)."""
+    return df.select(
+        s.alias("s"),
+        F.lit(p).alias("p"),
+        lex.alias("o"),
+        F.struct(
+            lex.alias("lex"), F.lit(None).cast("string").alias("dtype"), lang.alias("lang")
+        ).alias("o_lit"),
+        F.lit(True).alias("is_lit"),
+        F.lit(None).cast("string").alias("src_url"),
+    )
+
+
+def q_v_logic(spark, sf_dir):
+    """sh:and (all branches) + sh:xone (exactly one) in one shape, both
+    collapsed per-value inside the single-pass grid (engine.py::_branch_groups).
+    kg:contact must be a Literal AND xsd:string (the v_or value mix: decimal
+    lits and IRIs fail); kg:code must match exactly one of ^A / B$."""
+    cust = _read(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    dec_lit = _lit_rows(cust.filter(k % 3 == 0), _iri("c:", k), "kg:contact", F.col("c_name"), F.lit(XSD_DECIMAL))
+    iri_val = _rows(cust.filter(k % 3 == 1), _iri("c:", k), "kg:contact", _iri("n:", F.col("c_nationkey")))
+    str_lit = _lit_rows(cust.filter(k % 3 == 2), _iri("c:", k), "kg:contact", F.col("c_name"), F.lit(XSD_STRING))
+    code = F.element_at(F.array(F.lit("AX"), F.lit("XB"), F.lit("AB"), F.lit("XX")), (k % 4 + 1).cast("int"))
+    codes = _lit_rows(cust, _iri("c:", k), "kg:code", code, F.lit(XSD_STRING))
+    t = _cust_targets(spark, sf_dir).unionByName(dec_lit).unionByName(iri_val).unionByName(str_lit).unionByName(codes)
+    shapes = [NodeShape("sh:CustShape", target_classes=["kg:Customer"], properties=[
+        PropertyConstraint(path="kg:contact", and_branches=[
+            PropertyConstraint(node_kind=vocab.SH + "Literal"),
+            PropertyConstraint(datatype=XSD_STRING)]),
+        PropertyConstraint(path="kg:code", xone_branches=[
+            PropertyConstraint(pattern="^A"),
+            PropertyConstraint(pattern="B$")]),
+    ])]
+    return validate(spark, t, shapes).violations
+
+
+SQL_V_LOGIC = """SELECT 'c:'||c_custkey::varchar AS focus, 'sh:CustShape' AS shape,
+'kg:contact' AS path, 'value' AS "constraint",
+CASE WHEN c_custkey % 3 = 0 THEN c_name ELSE 'n:'||c_nationkey::varchar END AS value
+FROM customer WHERE c_custkey % 3 IN (0, 1)
+UNION ALL
+SELECT 'c:'||c_custkey::varchar, 'sh:CustShape', 'kg:code', 'value',
+CASE WHEN c_custkey % 4 = 2 THEN 'AB' ELSE 'XX' END
+FROM customer WHERE c_custkey % 4 IN (2, 3)"""
+
+
+def q_v_qualified(spark, sf_dir):
+    """sh:qualifiedValueShape + qualifiedMin/MaxCount: each customer needs
+    2..20 kg:ordered values typed kg:PriorityOrder (orderkey % 3 = 0); the
+    qualified rows ride the value grid, counted per focus
+    (engine.py: comb='qual' → q_cnt)."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    vals = _rows(orders, _iri("c:", F.col("o_custkey")), "kg:ordered", _iri("o:", F.col("o_orderkey")))
+    prio = _rows(orders.filter(F.col("o_orderkey") % 3 == 0),
+                 _iri("o:", F.col("o_orderkey")), TYPE, F.lit("kg:PriorityOrder"))
+    t = _cust_targets(spark, sf_dir).unionByName(vals).unionByName(prio)
+    shapes = [NodeShape("sh:CustShape", target_classes=["kg:Customer"], properties=[
+        PropertyConstraint(path="kg:ordered",
+                           qualified=PropertyConstraint(clazz="kg:PriorityOrder"),
+                           q_min_count=2, q_max_count=20)])]
+    return validate(spark, t, shapes).violations
+
+
+SQL_V_QUALIFIED = """WITH q AS (
+  SELECT c.c_custkey AS k,
+         count(DISTINCT o.o_orderkey) FILTER (WHERE o.o_orderkey % 3 = 0) AS qc
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1)
+SELECT 'c:'||k::varchar AS focus, 'sh:CustShape' AS shape, 'kg:ordered' AS path,
+'qualifiedMinCount' AS "constraint", qc::varchar AS value FROM q WHERE qc < 2
+UNION ALL
+SELECT 'c:'||k::varchar, 'sh:CustShape', 'kg:ordered', 'qualifiedMaxCount',
+qc::varchar FROM q WHERE qc > 20"""
+
+
+def q_v_range(spark, sf_dir):
+    """sh:minInclusive / sh:maxExclusive over account balance in integer cents
+    (engine.py::_value_conformance range_ok; non-numeric poison values every
+    97th customer exercise the incomparable-violates rule)."""
+    cust = _read(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint").cast("string")
+    lex = F.when(k % 97 == 0, F.col("c_name")).otherwise(cents)
+    vals = _lit_rows(cust, _iri("c:", k), "kg:cents", lex, F.lit(vocab.XSD + "integer"))
+    t = _cust_targets(spark, sf_dir).unionByName(vals)
+    shapes = [NodeShape("sh:CustShape", target_classes=["kg:Customer"], properties=[
+        PropertyConstraint(path="kg:cents", min_inclusive="0", max_exclusive="900000")])]
+    return validate(spark, t, shapes).violations
+
+
+SQL_V_RANGE = """WITH v AS (
+  SELECT c_custkey AS k,
+    CASE WHEN c_custkey % 97 = 0 THEN c_name
+         ELSE (round(c_acctbal*100))::BIGINT::varchar END AS val,
+    CASE WHEN c_custkey % 97 = 0 THEN NULL
+         ELSE (round(c_acctbal*100))::BIGINT END AS num
+  FROM customer)
+SELECT 'c:'||k::varchar AS focus, 'sh:CustShape' AS shape, 'kg:cents' AS path,
+'value' AS "constraint", val AS value
+FROM v WHERE num IS NULL OR num < 0 OR num >= 900000"""
+
+
+def q_v_lang(spark, sf_dir):
+    """sh:languageIn + sh:uniqueLang over language-tagged labels: every
+    customer carries two rdf:langString labels; tag 'zz' is outside the
+    allowed list, and customers whose two labels share 'en' violate
+    uniqueLang (engine.py: lang_ok + n_lang vs n_lang_distinct)."""
+    cust = _read(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    lang1 = F.element_at(F.array(F.lit("en"), F.lit("de"), F.lit("fr"), F.lit("zz")), (k % 4 + 1).cast("int"))
+    lang2 = F.when(k % 2 == 0, F.lit("en")).otherwise(F.lit("es"))
+    l1 = _lang_rows(cust, _iri("c:", k), "kg:label", F.col("c_name"), lang1)
+    l2 = _lang_rows(cust, _iri("c:", k), "kg:label", F.col("c_mktsegment"), lang2)
+    t = _cust_targets(spark, sf_dir).unionByName(l1).unionByName(l2)
+    shapes = [NodeShape("sh:CustShape", target_classes=["kg:Customer"], properties=[
+        PropertyConstraint(path="kg:label", language_in=["en", "de", "fr", "es"]),
+        PropertyConstraint(path="kg:label", unique_lang=True)])]
+    return validate(spark, t, shapes).violations
+
+
+SQL_V_LANG = """SELECT 'c:'||c_custkey::varchar AS focus, 'sh:CustShape' AS shape,
+'kg:label' AS path, 'value' AS "constraint", c_name AS value
+FROM customer WHERE c_custkey % 4 = 3
+UNION ALL
+SELECT 'c:'||c_custkey::varchar, 'sh:CustShape', 'kg:label', 'uniqueLang', '1'
+FROM customer WHERE c_custkey % 4 = 0"""
+
+
+def q_v_pairs(spark, sf_dir):
+    """Property-pair constraints sh:lessThan / sh:equals / sh:disjoint in one
+    shape (engine.py::_pair_violations: per-focus equi-joins, never all-pairs).
+    kg:lo < kg:hi numerically; kg:alias must equal kg:name as a set; kg:tag1
+    must not intersect kg:tag2."""
+    cust = _read(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    XSD_INT = vocab.XSD + "integer"
+    lo = _lit_rows(cust, _iri("c:", k), "kg:lo", (k % 10).cast("string"), F.lit(XSD_INT))
+    hi = _lit_rows(cust, _iri("c:", k), "kg:hi", (k % 7 + 3).cast("string"), F.lit(XSD_INT))
+    alias = _lit_rows(cust, _iri("c:", k), "kg:alias", F.col("c_mktsegment"), F.lit(XSD_STRING))
+    name = _lit_rows(cust, _iri("c:", k), "kg:name",
+                     F.when(k % 3 != 0, F.col("c_mktsegment")).otherwise(F.lit("XVAL")), F.lit(XSD_STRING))
+    tag1 = _lit_rows(cust, _iri("c:", k), "kg:tag1", F.col("c_mktsegment"), F.lit(XSD_STRING))
+    tag2 = _lit_rows(cust, _iri("c:", k), "kg:tag2",
+                     F.when(k % 2 == 0, F.col("c_mktsegment")).otherwise(F.col("c_name")), F.lit(XSD_STRING))
+    t = _cust_targets(spark, sf_dir)
+    for part in (lo, hi, alias, name, tag1, tag2):
+        t = t.unionByName(part)
+    shapes = [NodeShape("sh:CustShape", target_classes=["kg:Customer"], properties=[
+        PropertyConstraint(path="kg:lo", less_than="kg:hi"),
+        PropertyConstraint(path="kg:alias", equals="kg:name"),
+        PropertyConstraint(path="kg:tag1", disjoint="kg:tag2")])]
+    return validate(spark, t, shapes).violations
+
+
+SQL_V_PAIRS = """SELECT 'c:'||c_custkey::varchar AS focus, 'sh:CustShape' AS shape,
+'kg:lo' AS path, 'lessThan' AS "constraint", (c_custkey % 10)::varchar AS value
+FROM customer WHERE c_custkey % 10 >= c_custkey % 7 + 3
+UNION ALL
+SELECT 'c:'||c_custkey::varchar, 'sh:CustShape', 'kg:alias', 'equals', c_mktsegment
+FROM customer WHERE c_custkey % 3 = 0
+UNION ALL
+SELECT 'c:'||c_custkey::varchar, 'sh:CustShape', 'kg:alias', 'equals', 'XVAL'
+FROM customer WHERE c_custkey % 3 = 0
+UNION ALL
+SELECT 'c:'||c_custkey::varchar, 'sh:CustShape', 'kg:tag1', 'disjoint', c_mktsegment
+FROM customer WHERE c_custkey % 2 = 0"""
+
+
+def q_v_closed(spark, sf_dir):
+    """sh:closed + sh:ignoredProperties: undeclared kg:extra edges violate;
+    kg:note is ignored; rdf:type always allowed
+    (engine.py::_closed_violations — one broadcast anti-join)."""
+    cust = _read(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    seg = _lit_rows(cust, _iri("c:", k), "kg:segment", F.col("c_mktsegment"), F.lit(XSD_STRING))
+    extra = _lit_rows(cust.filter(k % 6 == 0), _iri("c:", k), "kg:extra", F.col("c_name"), F.lit(XSD_STRING))
+    note = _lit_rows(cust.filter(k % 9 == 0), _iri("c:", k), "kg:note", F.col("c_name"), F.lit(XSD_STRING))
+    t = _cust_targets(spark, sf_dir).unionByName(seg).unionByName(extra).unionByName(note)
+    shapes = [NodeShape("sh:CustShape", target_classes=["kg:Customer"],
+                        properties=[PropertyConstraint(path="kg:segment")],
+                        closed=True, ignored_properties=["kg:note"])]
+    return validate(spark, t, shapes).violations
+
+
+SQL_V_CLOSED = """SELECT 'c:'||c_custkey::varchar AS focus, 'sh:CustShape' AS shape,
+'kg:extra' AS path, 'closed' AS "constraint", c_name AS value
+FROM customer WHERE c_custkey % 6 = 0"""
+
+
+QUERIES["v_logic"] = q_v_logic
+QUERIES["v_qualified"] = q_v_qualified
+QUERIES["v_range"] = q_v_range
+QUERIES["v_lang"] = q_v_lang
+QUERIES["v_pairs"] = q_v_pairs
+QUERIES["v_closed"] = q_v_closed
+ORACLES["v_logic"] = SQL_V_LOGIC
+ORACLES["v_qualified"] = SQL_V_QUALIFIED
+ORACLES["v_range"] = SQL_V_RANGE
+ORACLES["v_lang"] = SQL_V_LANG
+ORACLES["v_pairs"] = SQL_V_PAIRS
+ORACLES["v_closed"] = SQL_V_CLOSED
+
+
+
+def q_v_target_of(spark, sf_dir):
+    """sh:targetSubjectsOf / sh:targetObjectsOf (engine.py::_targets predicate
+    maps): customers who placed >25 orders violate maxCount on the
+    subjects-of target; odd orders lack kg:priority under the objects-of
+    target."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    vals = _rows(orders, _iri("c:", F.col("o_custkey")), "kg:ordered", _iri("o:", F.col("o_orderkey")))
+    prio = _lit_rows(orders.filter(F.col("o_orderkey") % 2 == 0),
+                     _iri("o:", F.col("o_orderkey")), "kg:priority",
+                     F.col("o_orderpriority"), F.lit(XSD_STRING))
+    t = vals.unionByName(prio)
+    shapes = [
+        NodeShape("sh:Orderer", target_subjects_of=["kg:ordered"],
+                  properties=[PropertyConstraint(path="kg:ordered", max_count=25)]),
+        NodeShape("sh:Ordered", target_objects_of=["kg:ordered"],
+                  properties=[PropertyConstraint(path="kg:priority", min_count=1)]),
+    ]
+    return validate(spark, t, shapes).violations
+
+
+SQL_V_TARGET_OF = """SELECT 'c:'||o_custkey::varchar AS focus, 'sh:Orderer' AS shape,
+'kg:ordered' AS path, 'maxCount' AS "constraint", count(DISTINCT o_orderkey)::varchar AS value
+FROM orders GROUP BY o_custkey HAVING count(DISTINCT o_orderkey) > 25
+UNION ALL
+SELECT 'o:'||o_orderkey::varchar, 'sh:Ordered', 'kg:priority', 'minCount', '0'
+FROM orders WHERE o_orderkey % 2 = 1"""
+
+
+def q_v_inverse_path(spark, sf_dir):
+    """sh:inversePath (engine.py: inverse value join — focus is the edge's
+    OBJECT): every order's in-edge subjects on kg:ordered must be typed
+    kg:Customer; only even custkeys are, so orders placed by odd customers
+    report their customer as a bad value."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    vals = _rows(orders, _iri("c:", F.col("o_custkey")), "kg:ordered", _iri("o:", F.col("o_orderkey")))
+    otypes = _rows(orders, _iri("o:", F.col("o_orderkey")), TYPE, F.lit("kg:Order"))
+    ctypes = _rows(cust.filter(F.col("c_custkey") % 2 == 0),
+                   _iri("c:", F.col("c_custkey")), TYPE, F.lit("kg:Customer"))
+    t = vals.unionByName(otypes).unionByName(ctypes)
+    shapes = [NodeShape("sh:OrderShape", target_classes=["kg:Order"], properties=[
+        PropertyConstraint(path="kg:ordered", inverse=True, min_count=1, clazz="kg:Customer")])]
+    return validate(spark, t, shapes).violations
+
+
+SQL_V_INVERSE = """SELECT 'o:'||o_orderkey::varchar AS focus, 'sh:OrderShape' AS shape,
+'kg:ordered' AS path, 'value' AS "constraint", 'c:'||o_custkey::varchar AS value
+FROM orders WHERE o_custkey % 2 = 1"""
+
+
+QUERIES["v_target_of"] = q_v_target_of
+QUERIES["v_inverse_path"] = q_v_inverse_path
+ORACLES["v_target_of"] = SQL_V_TARGET_OF
+ORACLES["v_inverse_path"] = SQL_V_INVERSE
+
+
+
+# ---------------------------------------------------------------------------
+# Common-Crawl URL operations (ops/urls.py): canonicalization, latest-capture
+# dedup, per-domain rollups — the crawl-side counterpart of document dedup
+# (north_rule input is (url, warc_ts, html, …) pages)
+# ---------------------------------------------------------------------------
+
+def _messy_urls(spark, sf_dir):
+    """Deterministic messy-URL corpus derived from documents: five variant
+    families exercising scheme/host case, default ports, fragments and
+    tracking params (mirrored verbatim in the DuckDB oracles)."""
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    url = (
+        F.when(d % 5 == 0, F.concat(F.lit("HTTP://News.Example.CO.UK:80/a/"), ds, F.lit("?utm_source=x")))
+        .when(d % 5 == 1, F.concat(F.lit("https://Blog.Example.COM:443/p?id="), ds, F.lit("&utm_medium=m&x=1#frag")))
+        .when(d % 5 == 2, F.concat(F.lit("http://EXAMPLE.com/item/"), ds, F.lit("#sec")))
+        .when(d % 5 == 3, F.concat(F.lit("https://cdn.site.org/"), ds, F.lit("?fbclid=abc")))
+        .otherwise(F.concat(F.lit("HTTP://HOST.NET:80/?page="), (d % 7).cast("string")))
+    )
+    return docs.select("doc_id", url.alias("url"), "text")
+
+
+_SQL_MESSY_CANON = """CASE
+  WHEN doc_id % 5 = 0 THEN 'http://news.example.co.uk/a/'||doc_id::varchar
+  WHEN doc_id % 5 = 1 THEN 'https://blog.example.com/p?id='||doc_id::varchar||'&x=1'
+  WHEN doc_id % 5 = 2 THEN 'http://example.com/item/'||doc_id::varchar
+  WHEN doc_id % 5 = 3 THEN 'https://cdn.site.org/'||doc_id::varchar
+  ELSE 'http://host.net/?page='||(doc_id % 7)::varchar END"""
+
+_SQL_MESSY_DOMAIN = """CASE
+  WHEN doc_id % 5 = 0 THEN 'example.co.uk'
+  WHEN doc_id % 5 IN (1, 2) THEN 'example.com'
+  WHEN doc_id % 5 = 3 THEN 'site.org'
+  ELSE 'host.net' END"""
+
+
+def q_url_canonicalize(spark, sf_dir):
+    """canonicalize_url + registered_domain over the five messy families
+    (ops/urls.py:40-86) — scheme/host lowering, default-port strip, fragment
+    strip, tracking-param removal with separator tidy-up, eTLD+1."""
+    from re_shacl_spark.ops import urls as U
+
+    m = _messy_urls(spark, sf_dir)
+    return m.select(
+        "doc_id",
+        U.canonicalize_url(F.col("url")).alias("canonical_url"),
+        U.registered_domain(F.col("url")).alias("domain"),
+    )
+
+
+SQL_URL_CANON = f"""SELECT doc_id, {_SQL_MESSY_CANON} AS canonical_url,
+{_SQL_MESSY_DOMAIN} AS domain FROM documents"""
+
+
+def q_url_dedup_latest(spark, sf_dir):
+    """dedup_url_latest (ops/urls.py:89-106): three tracking-param captures
+    per canonical URL; the newest (highest crawl_ts = doc_id) survives.  One
+    shuffle on the canonical url."""
+    from re_shacl_spark.ops import urls as U
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    g = F.floor(d / 3)
+    url = F.concat(
+        F.lit("HTTPS://Site"), (g % 13).cast("string"), F.lit(".Example.COM:443/page/"),
+        g.cast("string"), F.lit("?utm_campaign=c"), d.cast("string"),
+    )
+    pages = docs.select(d.alias("doc_id"), url.alias("url"), d.alias("crawl_ts"))
+    kept = U.dedup_url_latest(pages, ts_col="crawl_ts")
+    return kept.select("canonical_url", F.col("doc_id").alias("kept_doc"))
+
+
+SQL_URL_DEDUP = """SELECT
+'https://site'||((doc_id // 3) % 13)::varchar||'.example.com/page/'||(doc_id // 3)::varchar
+  AS canonical_url,
+max(doc_id) AS kept_doc
+FROM documents GROUP BY doc_id // 3"""
+
+
+def q_url_domain_stats(spark, sf_dir):
+    """domain_stats (ops/urls.py:109-127): per-eTLD+1 captures, distinct
+    canonical pages, total text volume — partial-agg shuffle on |domains|."""
+    from re_shacl_spark.ops import urls as U
+
+    return U.domain_stats(_messy_urls(spark, sf_dir))
+
+
+SQL_URL_DOMAINS = f"""WITH m AS (
+  SELECT doc_id, {_SQL_MESSY_CANON} AS canonical_url, {_SQL_MESSY_DOMAIN} AS domain,
+         length(coalesce(text, '')) AS len FROM documents)
+SELECT domain, count(*)::BIGINT AS n_captures,
+count(DISTINCT canonical_url)::BIGINT AS n_pages,
+sum(len)::BIGINT AS total_chars
+FROM m GROUP BY domain"""
+
+
+QUERIES["url_canonicalize"] = q_url_canonicalize
+QUERIES["url_dedup_latest"] = q_url_dedup_latest
+QUERIES["url_domain_stats"] = q_url_domain_stats
+ORACLES["url_canonicalize"] = SQL_URL_CANON
+ORACLES["url_dedup_latest"] = SQL_URL_DEDUP
+ORACLES["url_domain_stats"] = SQL_URL_DOMAINS
+
+
 # ---------------------------------------------------------------------------
 # Driver evidence ordering.  The grading driver records correctness rows for
 # roughly the first 50 registry entries per round (CORRECTNESS_r01/r02 both
@@ -2043,6 +2423,17 @@ _EVIDENCE_PRIORITY = [
     "kg_fuse_full",
     "text_repetition",
     "text_pii_scrub",
+    "v_logic",
+    "v_qualified",
+    "v_range",
+    "v_lang",
+    "v_pairs",
+    "v_closed",
+    "v_target_of",
+    "v_inverse_path",
+    "url_canonicalize",
+    "url_dedup_latest",
+    "url_domain_stats",
     # round-2 queries absent from CORRECTNESS_r01/r02 (VERDICT r2, next #1)
     "v_shape30_report",
     "v_lubm_schema1",

@@ -42,6 +42,7 @@ _PC_SCHEMA = T.StructType(
         T.StructField("pc_id", T.LongType()),
         T.StructField("shape_id", T.StringType()),
         T.StructField("path", T.StringType()),
+        T.StructField("inverse", T.BooleanType()),  # sh:inversePath traversal
         T.StructField("min_count", T.IntegerType()),
         T.StructField("max_count", T.IntegerType()),
         T.StructField("clazz", T.StringType()),
@@ -53,8 +54,21 @@ _PC_SCHEMA = T.StructType(
         T.StructField("pattern", T.StringType()),
         T.StructField("min_length", T.IntegerType()),
         T.StructField("max_length", T.IntegerType()),
+        T.StructField("min_inclusive", T.StringType()),   # numeric range facets:
+        T.StructField("max_inclusive", T.StringType()),   # lexical forms, compared
+        T.StructField("min_exclusive", T.StringType()),   # as doubles at eval time
+        T.StructField("max_exclusive", T.StringType()),
+        T.StructField("language_in", T.ArrayType(T.StringType())),
+        T.StructField("unique_lang", T.BooleanType()),
+        T.StructField("q_min", T.IntegerType()),  # sh:qualifiedMinCount
+        T.StructField("q_max", T.IntegerType()),  # sh:qualifiedMaxCount
         T.StructField("negated", T.BooleanType()),
-        T.StructField("branch_idx", T.IntegerType()),  # null = base row; >=0 = or-branch
+        T.StructField("branch_idx", T.IntegerType()),  # null = base row; >=0 = branch
+        # branch combinator: null = base row; 'or' | 'and' | 'xone' = logical
+        # branch rows collapsed per-value (any / all / exactly-one); 'qual' =
+        # the sh:qualifiedValueShape row (counted per focus, never a per-value
+        # violation)
+        T.StructField("comb", T.StringType()),
         T.StructField("is_not", T.BooleanType()),  # node-level sh:not property shape
     ]
 )
@@ -65,6 +79,22 @@ class ValidationReport:
     violations: DataFrame  # (focus, shape, path, constraint, value)
     conforms: bool
     shapes_evaluated: int
+
+
+def _branch_groups(pc: PropertyConstraint) -> list[tuple[str, list[PropertyConstraint]]]:
+    """(combinator, branches) pairs riding a constraint's grid rows: sh:or
+    (any conforms), sh:and (all conform), sh:xone (exactly one conforms),
+    'qual' (the sh:qualifiedValueShape, counted per focus)."""
+    groups = []
+    if pc.or_branches:
+        groups.append(("or", pc.or_branches))
+    if pc.and_branches:
+        groups.append(("and", pc.and_branches))
+    if pc.xone_branches:
+        groups.append(("xone", pc.xone_branches))
+    if pc.qualified is not None:
+        groups.append(("qual", [pc.qualified]))
+    return groups
 
 
 def _pc_rows(shapes: list[NodeShape]) -> list[tuple]:
@@ -80,21 +110,28 @@ def _pc_rows(shapes: list[NodeShape]) -> list[tuple]:
         for pc, is_not in pcs:
             rows.append(
                 (
-                    pc_id, ns.shape_id, pc.path, pc.min_count, pc.max_count,
+                    pc_id, ns.shape_id, pc.path, pc.inverse, pc.min_count, pc.max_count,
                     pc.clazz, pc.datatype, pc.node_kind, pc.node_ref,
                     pc.in_values, pc.has_value, pc.pattern, pc.min_length,
-                    pc.max_length, pc.negated, None, is_not,
+                    pc.max_length, pc.min_inclusive, pc.max_inclusive,
+                    pc.min_exclusive, pc.max_exclusive, pc.language_in,
+                    pc.unique_lang, pc.q_min_count, pc.q_max_count,
+                    pc.negated, None, None, is_not,
                 )
             )
-            for bi, b in enumerate(pc.or_branches):
-                rows.append(
-                    (
-                        pc_id, ns.shape_id, pc.path, None, None,
-                        b.clazz, b.datatype, b.node_kind, b.node_ref,
-                        b.in_values, b.has_value, b.pattern, b.min_length,
-                        b.max_length, b.negated, bi, is_not,
+            for comb, branches in _branch_groups(pc):
+                for bi, b in enumerate(branches):
+                    rows.append(
+                        (
+                            pc_id, ns.shape_id, pc.path, pc.inverse, None, None,
+                            b.clazz, b.datatype, b.node_kind, b.node_ref,
+                            b.in_values, b.has_value, b.pattern, b.min_length,
+                            b.max_length, b.min_inclusive, b.max_inclusive,
+                            b.min_exclusive, b.max_exclusive, b.language_in,
+                            False, None, None,
+                            b.negated, bi, comb, is_not,
+                        )
                     )
-                )
             pc_id += 1
     return rows
 
@@ -110,6 +147,8 @@ def _targets(
     correctness belt for pre-fusion inputs), implicit class targets, targetNode."""
     cls_rows: list[tuple[str, str]] = []
     node_rows: list[tuple[str, str]] = []
+    subj_rows: list[tuple[str, str]] = []
+    obj_rows: list[tuple[str, str]] = []
     for ns in shapes:
         classes = set(ns.target_classes)
         if ns.implicit_class_target:
@@ -119,6 +158,8 @@ def _targets(
             expanded |= tbox.subclasses_of(c) if tbox else {c}
         cls_rows += [(c, ns.shape_id) for c in sorted(expanded)]
         node_rows += [(ns.shape_id, n) for n in ns.target_nodes]
+        subj_rows += [(p, ns.shape_id) for p in ns.target_subjects_of]
+        obj_rows += [(p, ns.shape_id) for p in ns.target_objects_of]
 
     types = triples.filter(F.col("p") == vocab.TYPE).select(
         F.col("s").alias("focus"), F.col("o").alias("cls")
@@ -128,7 +169,16 @@ def _targets(
     )
     by_class = types.join(cls_map, "cls").select("shape_id", "focus")
     by_node = spark.createDataFrame(node_rows or [], "shape_id string, focus string")
-    return by_class.unionByName(by_node).distinct()
+    out = by_class.unionByName(by_node)
+    # sh:targetSubjectsOf / targetObjectsOf: one broadcast predicate-map join
+    # each — the predicate filter pushes into the scan
+    for rows2, col in ((subj_rows, "s"), (obj_rows, "o")):
+        if rows2:
+            pm = F.broadcast(spark.createDataFrame(rows2, "p string, shape_id string"))
+            out = out.unionByName(
+                triples.join(pm, "p").select("shape_id", F.col(col).alias("focus"))
+            )
+    return out.distinct()
 
 
 def _value_conformance(col_prefix: str = "") -> F.Column:
@@ -176,7 +226,32 @@ def _value_conformance(col_prefix: str = "") -> F.Column:
     ref_ok = F.when(F.col("node_ref").isNull(), F.lit(True)).otherwise(
         F.col("_ref_ok")
     )
-    conf = node_kind_ok & dtype_ok & in_ok & pattern_ok & len_ok & class_ok & ref_ok
+    # numeric range facets: constraint lexical forms and the value both compare
+    # as doubles; a non-numeric value violates any range facet (SHACL: value
+    # nodes that cannot be compared are violations)
+    num = o.try_cast("double")
+    range_ok = (
+        F.when(F.col("min_inclusive").isNull(), F.lit(True)).otherwise(
+            is_lit & num.isNotNull() & (num >= F.col("min_inclusive").try_cast("double"))
+        )
+        & F.when(F.col("max_inclusive").isNull(), F.lit(True)).otherwise(
+            is_lit & num.isNotNull() & (num <= F.col("max_inclusive").try_cast("double"))
+        )
+        & F.when(F.col("min_exclusive").isNull(), F.lit(True)).otherwise(
+            is_lit & num.isNotNull() & (num > F.col("min_exclusive").try_cast("double"))
+        )
+        & F.when(F.col("max_exclusive").isNull(), F.lit(True)).otherwise(
+            is_lit & num.isNotNull() & (num < F.col("max_exclusive").try_cast("double"))
+        )
+    )
+    # sh:languageIn: only language-tagged literals with a listed tag conform
+    lang_ok = F.when(F.col("language_in").isNull(), F.lit(True)).otherwise(
+        is_lit & F.array_contains(F.col("language_in"), F.coalesce(F.col("o_lit.lang"), F.lit("")))
+    )
+    conf = (
+        node_kind_ok & dtype_ok & in_ok & pattern_ok & len_ok & range_ok
+        & lang_ok & class_ok & ref_ok
+    )
     conf = F.when(F.col("negated"), ~conf).otherwise(conf)
     return F.when(o.isNull(), F.lit(True)).otherwise(conf)
 
@@ -190,6 +265,7 @@ def validate(
     _ref_sets: dict[str, DataFrame] | None = None,
     _extra_focus: dict[str, DataFrame] | None = None,
 ) -> ValidationReport:
+    shapes = [s for s in shapes if not s.deactivated]  # sh:deactivated true
     pc_rows = _pc_rows(shapes)
     if not pc_rows:
         empty = spark.createDataFrame(
@@ -218,11 +294,11 @@ def validate(
     tp = targets.join(base_pcs.select("pc_id", "shape_id"), "shape_id")
 
     # values at each constrained path: broadcast join puts path filter into the scan
-    paths = base_pcs.select(F.col("pc_id").alias("v_pc_id"), F.col("path").alias("p")).filter(
-        F.col("p").isNotNull()
-    )
+    paths = base_pcs.select(
+        F.col("pc_id").alias("v_pc_id"), F.col("path").alias("p"), "inverse"
+    ).filter(F.col("p").isNotNull())
     vals = (
-        triples.join(paths, "p")
+        triples.join(paths.filter(~F.col("inverse")).drop("inverse"), "p")
         .select(
             F.col("v_pc_id").alias("pc_id"),
             F.col("s").alias("focus"),
@@ -231,6 +307,20 @@ def validate(
             "is_lit",
         )
     )
+    if any(pc.inverse for ns in shapes for pc in _all_pcs(ns)):
+        # sh:inversePath: the focus is the OBJECT of the edge; values are the
+        # subjects (always resource nodes — s can't be a literal)
+        inv_vals = (
+            triples.join(paths.filter(F.col("inverse")).drop("inverse"), "p")
+            .select(
+                F.col("v_pc_id").alias("pc_id"),
+                F.col("o").alias("focus"),
+                F.col("s").alias("o"),
+                F.lit(None).cast(triples.schema["o_lit"].dataType).alias("o_lit"),
+                F.lit(False).alias("is_lit"),
+            )
+        )
+        vals = vals.unionByName(inv_vals)
     grid = tp.join(vals, ["pc_id", "focus"], "left")
 
     # class-conformance flags for any constraint row (base or or-branch):
@@ -240,8 +330,10 @@ def validate(
     ).distinct()
 
     all_pc_cols = pcs.select(
-        "pc_id", "branch_idx", "clazz", "datatype", "node_kind", "node_ref",
-        "in_values", "has_value", "pattern", "min_length", "max_length", "negated",
+        "pc_id", "branch_idx", "comb", "clazz", "datatype", "node_kind", "node_ref",
+        "in_values", "has_value", "pattern", "min_length", "max_length",
+        "min_inclusive", "max_inclusive", "min_exclusive", "max_exclusive",
+        "language_in", "negated",
     )
 
     # explode grid × (base + branches) so or-branches evaluate in the same pass
@@ -253,7 +345,9 @@ def validate(
     ).withColumnRenamed("_inst", "_class_hit").drop("_cls")
 
     # sh:node conforming sets: iterate to fixpoint (optimistic start)
-    ref_shapes = sorted({r[8] for r in pc_rows if r[8]})
+    # node_ref is the 10th element of the _PC_SCHEMA row layout
+    _REF_IDX = [f.name for f in _PC_SCHEMA.fields].index("node_ref")
+    ref_shapes = sorted({r[_REF_IDX] for r in pc_rows if r[_REF_IDX]})
     if ref_shapes and _ref_sets is not None:
         # inner call from _resolve_node_refs: refs resolve against the
         # PREVIOUS sweep's conforming sets (no fresh recursion — this is what
@@ -270,18 +364,30 @@ def validate(
         g = g.withColumn("_ref_ok", F.lit(True))
 
     conf = _value_conformance()
-    per_value = g.withColumn("_conf", conf)
+    per_value = g.withColumn("_conf", conf).withColumn(
+        "_lang", F.col("o_lit.lang")
+    ).withColumn("_dtype", F.col("o_lit.dtype"))
 
-    # collapse or-branches: value conforms if base row conforms AND, when branches
-    # exist, at least one branch row conforms
-    vkey = ["pc_id", "shape_id", "focus", "o", "is_lit"]
+    # collapse branch rows per VALUE (RDF term identity: lex + dtype + lang —
+    # "1"^^xsd:int and "1"^^xsd:string are distinct values): base row must
+    # conform AND, per combinator group, or→any / and→all / xone→exactly one
+    vkey = ["pc_id", "shape_id", "focus", "o", "is_lit", "_lang", "_dtype"]
     collapsed = per_value.groupBy(*vkey).agg(
-        F.max(F.when(F.col("branch_idx").isNull(), F.col("_conf"))).alias("_base_conf"),
-        F.max(F.when(F.col("branch_idx").isNotNull(), F.col("_conf"))).alias("_branch_conf"),
+        F.max(F.when(F.col("comb").isNull(), F.col("_conf"))).alias("_base_conf"),
+        F.max(F.when(F.col("comb") == "or", F.col("_conf"))).alias("_or_conf"),
+        F.min(F.when(F.col("comb") == "and", F.col("_conf"))).alias("_and_conf"),
+        F.sum(F.when(F.col("comb") == "xone", F.col("_conf").cast("int"))).alias("_xone_n"),
+        F.max(F.when(F.col("comb") == "qual", F.col("_conf"))).alias("_q_conf"),
         F.first("has_value", ignorenulls=True).alias("has_value"),
     )
     collapsed = collapsed.withColumn(
-        "_vconf", F.col("_base_conf") & F.coalesce(F.col("_branch_conf"), F.lit(True))
+        "_vconf",
+        F.col("_base_conf")
+        & F.coalesce(F.col("_or_conf"), F.lit(True))
+        & F.coalesce(F.col("_and_conf"), F.lit(True))
+        & F.when(
+            F.col("_xone_n").isNull() | F.col("o").isNull(), F.lit(True)
+        ).otherwise(F.col("_xone_n") == 1),
     )
 
     # single-pass per-focus aggregation: every count/exists constraint at once
@@ -291,9 +397,19 @@ def validate(
         F.max(
             F.when(F.col("has_value").isNotNull() & (F.col("o") == F.col("has_value")), True)
         ).alias("has_v"),
+        F.sum(
+            F.when(F.col("_q_conf") & F.col("o").isNotNull(), 1).otherwise(0)
+        ).alias("q_cnt"),
+        # sh:uniqueLang: collapsed rows are distinct per (value, lang), so a
+        # tag count exceeding the distinct-tag count means two values share one
+        F.count(F.col("_lang")).alias("n_lang"),
+        F.count_distinct(F.col("_lang")).alias("n_lang_distinct"),
     )
     agg = agg.join(
-        base_pcs.select("pc_id", "path", "min_count", "max_count", "has_value", "is_not"),
+        base_pcs.select(
+            "pc_id", "path", "min_count", "max_count", "has_value",
+            "q_min", "q_max", "unique_lang", "is_not",
+        ),
         "pc_id",
     )
     pos = ~F.coalesce(F.col("is_not"), F.lit(False))
@@ -308,6 +424,15 @@ def validate(
     v_min = mk(pos & F.col("min_count").isNotNull() & (F.col("cnt") < F.col("min_count")), "minCount", F.col("cnt"))
     v_max = mk(pos & F.col("max_count").isNotNull() & (F.col("cnt") > F.col("max_count")), "maxCount", F.col("cnt"))
     v_hv = mk(pos & F.col("has_value").isNotNull() & (~F.coalesce(F.col("has_v"), F.lit(False))), "hasValue", F.col("has_value"))
+    # sh:qualifiedMinCount/MaxCount: bounds on the count of values conforming
+    # to the qualified value shape (q_cnt aggregated from the 'qual' rows)
+    v_qmin = mk(pos & F.col("q_min").isNotNull() & (F.col("q_cnt") < F.col("q_min")), "qualifiedMinCount", F.col("q_cnt"))
+    v_qmax = mk(pos & F.col("q_max").isNotNull() & (F.col("q_cnt") > F.col("q_max")), "qualifiedMaxCount", F.col("q_cnt"))
+    v_ulang = mk(
+        pos & F.coalesce(F.col("unique_lang"), F.lit(False))
+        & (F.col("n_lang") > F.col("n_lang_distinct")),
+        "uniqueLang", F.col("n_lang") - F.col("n_lang_distinct"),
+    )
     # node-level sh:not: violation iff the inner property shape CONFORMS —
     # count bounds satisfied, every value conforms, hasValue present
     inner_ok = (
@@ -329,9 +454,146 @@ def validate(
             F.col("o").cast("string").alias("value"),
         )
     )
-    violations = v_min.unionByName(v_max).unionByName(v_hv).unionByName(v_not).unionByName(v_vals)
+    violations = (
+        v_min.unionByName(v_max).unionByName(v_hv)
+        .unionByName(v_qmin).unionByName(v_qmax).unionByName(v_ulang)
+        .unionByName(v_not).unionByName(v_vals)
+    )
+    for extra in (
+        _pair_violations(spark, triples, targets, shapes),
+        _closed_violations(spark, triples, targets, shapes),
+    ):
+        if extra is not None:
+            violations = violations.unionByName(extra)
     violations = violations.localCheckpoint(eager=True)
     return ValidationReport(violations, violations.isEmpty(), len(shapes))
+
+
+def _pair_violations(
+    spark: SparkSession, triples: DataFrame, targets: DataFrame, shapes: list[NodeShape]
+) -> DataFrame | None:
+    """sh:equals / sh:disjoint / sh:lessThan / sh:lessThanOrEquals — the
+    property-PAIR constraints, comparing a focus node's values at the
+    constrained path against its values at a second path.
+
+    Dataflow: one broadcast path-map join per side pulls both value sets out
+    of a single triples schema (filter pushed into the scan); set comparisons
+    are per-focus equi-joins on (pair_id, focus[, value]) — never all-pairs
+    across focuses.  Order comparisons (<, <=) compare numerically when both
+    lexical forms cast to double, else by string (SHACL: incomparable pairs
+    violate; here string order stands in for the full XSD hierarchy —
+    documented deviation).  Values are compared by lexical form (term
+    identity minus dtype/lang; deviation noted in SURVEY §2.9)."""
+    rows = []
+    for ns in shapes:
+        pcs = list(ns.properties) + ([ns.self_constraint] if ns.self_constraint else [])
+        for pc in pcs:
+            if pc.path is None:
+                continue
+            for kind, other in (
+                ("equals", pc.equals), ("disjoint", pc.disjoint),
+                ("lessThan", pc.less_than), ("lessThanOrEquals", pc.less_than_or_equals),
+            ):
+                if other is not None:
+                    rows.append((len(rows), ns.shape_id, pc.path, other, kind, pc.inverse))
+    if not rows:
+        return None
+    prs = spark.createDataFrame(
+        rows,
+        "pair_id long, shape_id string, path string, other string, kind string, inverse boolean",
+    )
+    scoped = targets.join(F.broadcast(prs), "shape_id")  # focus × pair grid
+
+    def side(pm_rows: list[tuple], focus_col: str, val_col: str, out: str) -> DataFrame:
+        pm = F.broadcast(spark.createDataFrame(pm_rows, "pair_id long, p string"))
+        return triples.join(pm, "p").select(
+            "pair_id", F.col(focus_col).alias("focus"), F.col(val_col).alias(out)
+        ).distinct()
+
+    fwd = [(r[0], r[2]) for r in rows if not r[5]]
+    inv = [(r[0], r[2]) for r in rows if r[5]]
+    a_vals = None
+    if fwd:
+        a_vals = side(fwd, "s", "o", "a")
+    if inv:  # sh:inversePath constrained side: focus is the object
+        ai = side(inv, "o", "s", "a")
+        a_vals = a_vals.unionByName(ai) if a_vals is not None else ai
+    a = scoped.join(a_vals, ["pair_id", "focus"])
+    b = side([(r[0], r[3]) for r in rows], "s", "o", "b")
+
+    out = F.col("shape_id").alias("shape")
+    mk = lambda df, c, v: df.select(  # noqa: E731
+        "focus", out, "path", F.lit(c).alias("constraint"), v.cast("string").alias("value")
+    )
+    parts: list[DataFrame] = []
+    kinds = {r[4] for r in rows}
+
+    if "equals" in kinds:
+        eq = scoped.filter(F.col("kind") == "equals")
+        ea = a.filter(F.col("kind") == "equals")
+        eb = b.join(eq.select("pair_id", "focus", "shape_id", "path"), ["pair_id", "focus"])
+        a_only = ea.join(
+            b.withColumnRenamed("b", "a"), ["pair_id", "focus", "a"], "left_anti"
+        )
+        b_only = eb.join(
+            a.select("pair_id", "focus", F.col("a").alias("b")).distinct(),
+            ["pair_id", "focus", "b"], "left_anti",
+        )
+        parts += [mk(a_only, "equals", F.col("a")), mk(b_only, "equals", F.col("b"))]
+
+    if "disjoint" in kinds:
+        dj = a.filter(F.col("kind") == "disjoint").join(
+            b.select("pair_id", "focus", F.col("b").alias("a")), ["pair_id", "focus", "a"]
+        )
+        parts.append(mk(dj, "disjoint", F.col("a")))
+
+    for kind, strict in (("lessThan", True), ("lessThanOrEquals", False)):
+        if kind not in kinds:
+            continue
+        pa = a.filter(F.col("kind") == kind).join(b, ["pair_id", "focus"])
+        an, bn = F.col("a").try_cast("double"), F.col("b").try_cast("double")
+        lt = (an < bn) if strict else (an <= bn)
+        ls = (F.col("a") < F.col("b")) if strict else (F.col("a") <= F.col("b"))
+        ok = F.when(an.isNotNull() & bn.isNotNull(), lt).otherwise(ls)
+        bad = pa.filter(~ok).select("pair_id", "focus", "shape_id", "path", "a").distinct()
+        parts.append(mk(bad, kind, F.col("a")))
+
+    res = parts[0]
+    for x in parts[1:]:
+        res = res.unionByName(x)
+    return res
+
+
+def _closed_violations(
+    spark: SparkSession, triples: DataFrame, targets: DataFrame, shapes: list[NodeShape]
+) -> DataFrame | None:
+    """sh:closed true — every predicate appearing on a focus node must be a
+    declared sh:property path, an sh:ignoredProperties member, or rdf:type.
+    One broadcast anti-join of the focus's outgoing edges against the allowed
+    (shape, predicate) table; O(1) shuffles in the number of closed shapes."""
+    allowed_rows, closed_ids = [], []
+    for ns in shapes:
+        if not ns.closed:
+            continue
+        closed_ids.append(ns.shape_id)
+        # only DIRECT path IRIs open a predicate (an inverse-path property
+        # shape does not declare the forward predicate — SHACL closed rules)
+        ps = {pc.path for pc in ns.properties if pc.path and not pc.inverse}
+        ps.update(ns.ignored_properties)
+        ps.add(vocab.TYPE)
+        allowed_rows += [(ns.shape_id, p) for p in sorted(ps)]
+    if not closed_ids:
+        return None
+    allowed = F.broadcast(spark.createDataFrame(allowed_rows, "shape_id string, p string"))
+    foci = targets.filter(F.col("shape_id").isin(closed_ids))
+    edges = foci.join(
+        triples.select(F.col("s").alias("focus"), "p", "o"), "focus"
+    )
+    bad = edges.join(allowed, ["shape_id", "p"], "left_anti")
+    return bad.select(
+        "focus", F.col("shape_id").alias("shape"), F.col("p").alias("path"),
+        F.lit("closed").alias("constraint"), F.col("o").cast("string").alias("value"),
+    )
 
 
 def _all_pcs(ns: NodeShape) -> list[PropertyConstraint]:
@@ -339,6 +601,15 @@ def _all_pcs(ns: NodeShape) -> list[PropertyConstraint]:
     if ns.self_constraint:
         out.append(ns.self_constraint)
     return out
+
+
+def _sub_pcs(pc: PropertyConstraint) -> list[PropertyConstraint]:
+    """A constraint plus every branch row it explodes into (or / and / xone /
+    qualifiedValueShape) — all of which may carry sh:node references."""
+    subs = [pc] + pc.or_branches + pc.and_branches + pc.xone_branches
+    if pc.qualified is not None:
+        subs.append(pc.qualified)
+    return subs
 
 
 def _ref_dag_depth(shapes: list[NodeShape]) -> int:
@@ -350,11 +621,9 @@ def _ref_dag_depth(shapes: list[NodeShape]) -> int:
     for s in shapes:
         refs = set()
         for pc in _all_pcs(s):
-            if pc.node_ref and pc.node_ref in by_id:
-                refs.add(pc.node_ref)
-            for b in pc.or_branches:
-                if b.node_ref and b.node_ref in by_id:
-                    refs.add(b.node_ref)
+            for x in _sub_pcs(pc):
+                if x.node_ref and x.node_ref in by_id:
+                    refs.add(x.node_ref)
         edges[s.shape_id] = refs
     memo: dict[str, int] = {}
     onstack: set[str] = set()
@@ -391,27 +660,32 @@ def _ref_value_sets(
     stay outside the evaluated set (a literal focus has no outgoing edges in
     the triple layout; documented deviation — they evaluate non-conforming
     unless the ref is vacuous)."""
-    pairs: set[tuple[str, str]] = set()
+    pairs: set[tuple[str, str, bool]] = set()
     self_refs: dict[str, list[NodeShape]] = {}
     for s in shapes:
         for pc in _all_pcs(s):
-            for x in [pc] + pc.or_branches:
+            for x in _sub_pcs(pc):
                 if x.node_ref and x.node_ref in by_id:
                     if pc.path is None:
                         self_refs.setdefault(x.node_ref, []).append(s)
                     else:
-                        pairs.add((pc.path, x.node_ref))
+                        pairs.add((pc.path, x.node_ref, pc.inverse))
     out: dict[str, DataFrame] = {}
     if pairs:
-        pm = F.broadcast(spark.createDataFrame(sorted(pairs), "p string, _ref string"))
+        pm = F.broadcast(
+            spark.createDataFrame(sorted(pairs), "p string, _ref string, _inv boolean")
+        )
+        joined = triples.join(pm, "p")
         vals = (
-            triples.join(pm, "p")
-            .filter(~F.col("is_lit"))
+            joined.filter(~F.col("_inv") & ~F.col("is_lit"))
             .select("_ref", F.col("o").alias("node"))
+            .unionByName(
+                joined.filter(F.col("_inv")).select("_ref", F.col("s").alias("node"))
+            )
             .distinct()
             .localCheckpoint(eager=True)  # one scan, reused by every per-ref filter
         )
-        for ref in sorted({r for _, r in pairs}):
+        for ref in sorted({r for _, r, _i in pairs}):
             out[ref] = vals.filter(F.col("_ref") == ref).select("node")
     for ref, referencing in sorted(self_refs.items()):
         t = _targets(spark, triples, referencing, tbox).select(F.col("focus").alias("node"))
@@ -444,7 +718,7 @@ def _resolve_node_refs(
     def refs_of(sid: str) -> list[str]:
         out = []
         for pc in _all_pcs(by_id[sid]):
-            for x in [pc] + pc.or_branches:
+            for x in _sub_pcs(pc):
                 if x.node_ref and x.node_ref in by_id:
                     out.append(x.node_ref)
         return out

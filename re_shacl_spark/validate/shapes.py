@@ -29,6 +29,9 @@ class PropertyConstraint:
     """One sh:property block (or one sh:or branch)."""
 
     path: str | None = None
+    # sh:path [ sh:inversePath <p> ] — values are the SUBJECTS of p-edges
+    # pointing AT the focus node (path holds p; traversal direction flips)
+    inverse: bool = False
     min_count: int | None = None
     max_count: int | None = None
     clazz: str | None = None
@@ -40,16 +43,42 @@ class PropertyConstraint:
     pattern: str | None = None       # sh:pattern (regex over the string form)
     min_length: int | None = None    # sh:minLength
     max_length: int | None = None    # sh:maxLength
+    # numeric range facets (sh:minInclusive/…): lexical forms kept as strings,
+    # compared as doubles at evaluation time (non-numeric values violate)
+    min_inclusive: str | None = None
+    max_inclusive: str | None = None
+    min_exclusive: str | None = None
+    max_exclusive: str | None = None
+    language_in: list[str] | None = None  # sh:languageIn
+    unique_lang: bool = False             # sh:uniqueLang true
+    # property-pair constraints: the OTHER path each kind compares against
+    equals: str | None = None
+    disjoint: str | None = None
+    less_than: str | None = None
+    less_than_or_equals: str | None = None
+    # sh:qualifiedValueShape + sh:qualifiedMinCount/MaxCount: `qualified`
+    # holds the value shape's inline facets; when the referenced node is a
+    # declared NodeShape, compile_shapes points qualified.node_ref at it so
+    # membership resolves through the sh:node conforming-set machinery
+    qualified: "PropertyConstraint | None" = None
+    qualified_ref: str | None = None  # raw referenced node id (ttl path only)
+    q_min_count: int | None = None
+    q_max_count: int | None = None
     negated: bool = False
     or_branches: list["PropertyConstraint"] = field(default_factory=list)
+    and_branches: list["PropertyConstraint"] = field(default_factory=list)
+    xone_branches: list["PropertyConstraint"] = field(default_factory=list)
 
     def has_value_constraints(self) -> bool:
         return any(
             x is not None
             for x in (self.clazz, self.datatype, self.node_kind, self.node_ref,
                       self.in_values, self.has_value, self.pattern,
-                      self.min_length, self.max_length)
-        ) or bool(self.or_branches)
+                      self.min_length, self.max_length,
+                      self.min_inclusive, self.max_inclusive,
+                      self.min_exclusive, self.max_exclusive,
+                      self.language_in)
+        ) or bool(self.or_branches) or bool(self.and_branches) or bool(self.xone_branches)
 
 
 @dataclass
@@ -57,6 +86,12 @@ class NodeShape:
     shape_id: str
     target_classes: list[str] = field(default_factory=list)
     target_nodes: list[str] = field(default_factory=list)
+    # sh:targetSubjectsOf / sh:targetObjectsOf — focus nodes are the
+    # subjects/objects of any triple with the named predicate
+    target_subjects_of: list[str] = field(default_factory=list)
+    target_objects_of: list[str] = field(default_factory=list)
+    # sh:deactivated true — the shape is skipped entirely
+    deactivated: bool = False
     implicit_class_target: bool = False  # shape IRI doubles as rdfs/owl Class
     properties: list[PropertyConstraint] = field(default_factory=list)
     # node-level constraints attached directly to the shape (sh:class etc.)
@@ -65,6 +100,10 @@ class NodeShape:
     # `sh:not [sh:path ...; sh:minCount 1; sh:node ...]`): the focus violates
     # iff it CONFORMS to the inner property shape
     not_properties: list[PropertyConstraint] = field(default_factory=list)
+    # sh:closed true — every predicate on a focus must be a declared property
+    # path, an ignored property, or rdf:type
+    closed: bool = False
+    ignored_properties: list[str] = field(default_factory=list)
 
 
 def _collect_list(pox: dict, head: str) -> list[str]:
@@ -91,8 +130,15 @@ def _compile_property(node: str, pox: dict) -> PropertyConstraint:
         v = one(pred)
         return int(v) if v is not None else None
 
+    raw_path = one("path")
+    inverse = False
+    if raw_path is not None:
+        inv = pox.get(raw_path, {}).get(SH + "inversePath")
+        if inv:
+            raw_path, inverse = inv[0], True
     pc = PropertyConstraint(
-        path=one("path"),
+        path=raw_path,
+        inverse=inverse,
         min_count=num("minCount"),
         max_count=num("maxCount"),
         clazz=one("class"),
@@ -103,13 +149,37 @@ def _compile_property(node: str, pox: dict) -> PropertyConstraint:
         pattern=one("pattern"),
         min_length=num("minLength"),
         max_length=num("maxLength"),
+        min_inclusive=one("minInclusive"),
+        max_inclusive=one("maxInclusive"),
+        min_exclusive=one("minExclusive"),
+        max_exclusive=one("maxExclusive"),
+        unique_lang=(one("uniqueLang") in ("true", "1")),
+        equals=one("equals"),
+        disjoint=one("disjoint"),
+        less_than=one("lessThan"),
+        less_than_or_equals=one("lessThanOrEquals"),
+        qualified_ref=one("qualifiedValueShape"),
+        q_min_count=num("qualifiedMinCount"),
+        q_max_count=num("qualifiedMaxCount"),
     )
+    if pc.qualified_ref:
+        pc.qualified = _compile_property(pc.qualified_ref, pox)
+        pc.qualified.path = None
     in_head = one("in")
     if in_head:
         pc.in_values = _collect_list(pox, in_head)
+    lang_head = one("languageIn")
+    if lang_head:
+        pc.language_in = _collect_list(pox, lang_head)
     or_head = one("or")
     if or_head:
         pc.or_branches = [_compile_property(b, pox) for b in _collect_list(pox, or_head)]
+    and_head = one("and")
+    if and_head:
+        pc.and_branches = [_compile_property(b, pox) for b in _collect_list(pox, and_head)]
+    xone_head = one("xone")
+    if xone_head:
+        pc.xone_branches = [_compile_property(b, pox) for b in _collect_list(pox, xone_head)]
     not_node = one("not")
     if not_node:
         # sh:not wraps an inner constraint on the same path: fold the inner
@@ -150,11 +220,18 @@ def compile_shapes(shape_triples: list[tuple]) -> list[NodeShape]:
             shape_id=sid,
             target_classes=sorted(po.get(SH + "targetClass", [])),
             target_nodes=sorted(po.get(SH + "targetNode", [])),
+            target_subjects_of=sorted(po.get(SH + "targetSubjectsOf", [])),
+            target_objects_of=sorted(po.get(SH + "targetObjectsOf", [])),
+            deactivated=(po.get(SH + "deactivated", ["false"])[0] in ("true", "1")),
             implicit_class_target=(
                 "http://www.w3.org/2002/07/owl#Class" in po.get(vocab.TYPE, [])
                 or vocab.RDFS + "Class" in po.get(vocab.TYPE, [])
             ),
+            closed=(po.get(SH + "closed", ["false"])[0] in ("true", "1")),
         )
+        ig_head = po.get(SH + "ignoredProperties")
+        if ig_head:
+            ns.ignored_properties = _collect_list(pox, ig_head[0])
         for pnode in po.get(SH + "property", []):
             pc = _compile_property(pnode, pox)
             if pc.path:
@@ -171,6 +248,16 @@ def compile_shapes(shape_triples: list[tuple]) -> list[NodeShape]:
         if self_pc.has_value_constraints():
             ns.self_constraint = self_pc
         shapes.append(ns)
+    # a sh:qualifiedValueShape naming a DECLARED NodeShape resolves membership
+    # through the sh:node conforming-set machinery (engine._resolve_node_refs)
+    declared = {s.shape_id for s in shapes}
+    for ns in shapes:
+        all_pcs = list(ns.properties) + list(ns.not_properties)
+        if ns.self_constraint:
+            all_pcs.append(ns.self_constraint)
+        for pc in all_pcs:
+            if pc.qualified is not None and pc.qualified_ref in declared:
+                pc.qualified.node_ref = pc.qualified_ref
     return shapes
 
 
@@ -185,6 +272,7 @@ def rewrite_shapes(shapes: list[NodeShape], node_rep: dict[str, str], class_rep:
     def rw_pc(pc: PropertyConstraint) -> PropertyConstraint:
         return PropertyConstraint(
             path=p(pc.path),
+            inverse=pc.inverse,
             min_count=pc.min_count,
             max_count=pc.max_count,
             clazz=c(pc.clazz),
@@ -196,8 +284,24 @@ def rewrite_shapes(shapes: list[NodeShape], node_rep: dict[str, str], class_rep:
             pattern=pc.pattern,
             min_length=pc.min_length,
             max_length=pc.max_length,
+            min_inclusive=pc.min_inclusive,
+            max_inclusive=pc.max_inclusive,
+            min_exclusive=pc.min_exclusive,
+            max_exclusive=pc.max_exclusive,
+            language_in=pc.language_in,
+            unique_lang=pc.unique_lang,
+            equals=p(pc.equals),
+            disjoint=p(pc.disjoint),
+            less_than=p(pc.less_than),
+            less_than_or_equals=p(pc.less_than_or_equals),
+            qualified=rw_pc(pc.qualified) if pc.qualified else None,
+            qualified_ref=pc.qualified_ref,
+            q_min_count=pc.q_min_count,
+            q_max_count=pc.q_max_count,
             negated=pc.negated,
             or_branches=[rw_pc(b) for b in pc.or_branches],
+            and_branches=[rw_pc(b) for b in pc.and_branches],
+            xone_branches=[rw_pc(b) for b in pc.xone_branches],
         )
 
     out = []
@@ -207,10 +311,15 @@ def rewrite_shapes(shapes: list[NodeShape], node_rep: dict[str, str], class_rep:
                 shape_id=ns.shape_id,
                 target_classes=sorted({c(tc) for tc in ns.target_classes}),
                 target_nodes=sorted({n(tn) for tn in ns.target_nodes}),
+                target_subjects_of=sorted({p(x) for x in ns.target_subjects_of}),
+                target_objects_of=sorted({p(x) for x in ns.target_objects_of}),
+                deactivated=ns.deactivated,
                 implicit_class_target=ns.implicit_class_target,
                 properties=[rw_pc(pc) for pc in ns.properties],
                 self_constraint=rw_pc(ns.self_constraint) if ns.self_constraint else None,
                 not_properties=[rw_pc(pc) for pc in ns.not_properties],
+                closed=ns.closed,
+                ignored_properties=[p(x) for x in ns.ignored_properties],
             )
         )
     return out

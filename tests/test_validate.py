@@ -169,3 +169,183 @@ def test_node_ref_value_not_target_typed_conforms(spark):
         (EX + "p1", "minCount", "0"),
         (EX + "p1", "value", EX + "a2"),
     }
+
+
+# --- round-3 constraint kinds: logical combinators, counts over qualified
+# value shapes, range/language facets, property pairs, closed shapes ---------
+
+
+def test_sh_and_branches(spark):
+    g = _graph(spark)
+    # age must be a literal AND integer-typed — p2 (string lit) and p3 (IRI) fail
+    pc = PropertyConstraint(
+        path=EX + "age",
+        and_branches=[
+            PropertyConstraint(node_kind=vocab.SH + "Literal"),
+            PropertyConstraint(datatype=XSD_INT),
+        ],
+    )
+    got, _ = _viol(spark, g, [NodeShape("S", target_classes=[EX + "Person"], properties=[pc])])
+    assert got == {(EX + "p2", "value", "young"), (EX + "p3", "value", EX + "unknown")}
+
+
+def test_sh_xone_branches(spark):
+    g = _graph(spark)
+    # exactly one of {integer-typed, literal}: p1's "42"^^int matches BOTH
+    # branches (xone violation); p2's "young" matches literal only (ok);
+    # p3's IRI matches neither (violation)
+    pc = PropertyConstraint(
+        path=EX + "age",
+        xone_branches=[
+            PropertyConstraint(datatype=XSD_INT),
+            PropertyConstraint(node_kind=vocab.SH + "Literal"),
+        ],
+    )
+    got, _ = _viol(spark, g, [NodeShape("S", target_classes=[EX + "Person"], properties=[pc])])
+    assert got == {(EX + "p1", "value", "42"), (EX + "p3", "value", EX + "unknown")}
+
+
+def test_qualified_min_max_count(spark):
+    g = _graph(spark)
+    # each Person needs >=1 knows-value that is itself typed Person — all of
+    # p1's are; p2/p3 have no knows values at all (q_cnt 0 < 1)
+    pc = PropertyConstraint(
+        path=EX + "knows",
+        qualified=PropertyConstraint(clazz=EX + "Person"),
+        q_min_count=1,
+    )
+    got, _ = _viol(spark, g, [NodeShape("S", target_classes=[EX + "Person"], properties=[pc])])
+    assert got == {(EX + "p2", "qualifiedMinCount", "0"), (EX + "p3", "qualifiedMinCount", "0")}
+
+    pc = PropertyConstraint(
+        path=EX + "knows",
+        qualified=PropertyConstraint(clazz=EX + "Person"),
+        q_max_count=1,
+    )
+    got, _ = _viol(spark, g, [NodeShape("S", target_classes=[EX + "Person"], properties=[pc])])
+    assert got == {(EX + "p1", "qualifiedMaxCount", "2")}
+
+
+def test_numeric_range_facets(spark):
+    g = _graph(spark)
+    # age in [10, 41]: p1's 42 exceeds maxInclusive; p2's non-numeric "young"
+    # and p3's IRI cannot be compared (both violate per SHACL)
+    pc = PropertyConstraint(path=EX + "age", min_inclusive="10", max_inclusive="41")
+    got, _ = _viol(spark, g, [NodeShape("S", target_classes=[EX + "Person"], properties=[pc])])
+    assert got == {
+        (EX + "p1", "value", "42"),
+        (EX + "p2", "value", "young"),
+        (EX + "p3", "value", EX + "unknown"),
+    }
+    # exclusive bound: 42 > 42 is false
+    pc = PropertyConstraint(path=EX + "age", min_exclusive="42")
+    got, _ = _viol(spark, g, [NodeShape("S", target_classes=[EX + "p1"], properties=[pc])],
+                   )
+    # retarget via targetNode to isolate p1
+    shapes = [NodeShape("S", target_nodes=[EX + "p1"], properties=[pc])]
+    got, _ = _viol(spark, g, shapes)
+    assert got == {(EX + "p1", "value", "42")}
+
+
+def test_language_in_and_unique_lang(spark):
+    from re_shacl_spark.model.triples import triples_df
+
+    rows = [
+        iri_triple(EX + "d1", vocab.TYPE, EX + "Doc"),
+        iri_triple(EX + "d2", vocab.TYPE, EX + "Doc"),
+        lit_triple(EX + "d1", EX + "label", "hello", lang="en"),
+        lit_triple(EX + "d1", EX + "label", "hallo", lang="de"),
+        lit_triple(EX + "d2", EX + "label", "bonjour", lang="fr"),  # not allowed
+        lit_triple(EX + "d2", EX + "label", "salut", lang="fr"),    # dup tag
+    ]
+    g = triples_df(spark, rows)
+    pc = PropertyConstraint(path=EX + "label", language_in=["en", "de"])
+    got, _ = _viol(spark, g, [NodeShape("S", target_classes=[EX + "Doc"], properties=[pc])])
+    assert got == {(EX + "d2", "value", "bonjour"), (EX + "d2", "value", "salut")}
+
+    pc = PropertyConstraint(path=EX + "label", unique_lang=True)
+    got, _ = _viol(spark, g, [NodeShape("S", target_classes=[EX + "Doc"], properties=[pc])])
+    assert got == {(EX + "d2", "uniqueLang", "1")}
+
+
+def test_property_pair_constraints(spark):
+    from re_shacl_spark.model.triples import triples_df
+
+    rows = [
+        iri_triple(EX + "e1", vocab.TYPE, EX + "Ev"),
+        iri_triple(EX + "e2", vocab.TYPE, EX + "Ev"),
+        lit_triple(EX + "e1", EX + "start", "3", XSD_INT),
+        lit_triple(EX + "e1", EX + "end", "5", XSD_INT),
+        lit_triple(EX + "e2", EX + "start", "9", XSD_INT),
+        lit_triple(EX + "e2", EX + "end", "9", XSD_INT),
+        lit_triple(EX + "e1", EX + "alias", "A", XSD_STR),
+        lit_triple(EX + "e1", EX + "name", "A", XSD_STR),
+        lit_triple(EX + "e2", EX + "alias", "B", XSD_STR),
+        lit_triple(EX + "e2", EX + "name", "C", XSD_STR),
+    ]
+    g = triples_df(spark, rows)
+    S = lambda pc: [NodeShape("S", target_classes=[EX + "Ev"], properties=[pc])]  # noqa: E731
+
+    got, _ = _viol(spark, g, S(PropertyConstraint(path=EX + "start", less_than=EX + "end")))
+    assert got == {(EX + "e2", "lessThan", "9")}
+
+    got, _ = _viol(spark, g, S(PropertyConstraint(path=EX + "start", less_than_or_equals=EX + "end")))
+    assert got == set()
+
+    got, _ = _viol(spark, g, S(PropertyConstraint(path=EX + "alias", disjoint=EX + "name")))
+    assert got == {(EX + "e1", "disjoint", "A")}
+
+    got, _ = _viol(spark, g, S(PropertyConstraint(path=EX + "alias", equals=EX + "name")))
+    assert got == {(EX + "e2", "equals", "B"), (EX + "e2", "equals", "C")}
+
+
+def test_closed_shape(spark):
+    g = _graph(spark)
+    # Person closed over {knows, age}: the status edges violate
+    ns = NodeShape(
+        "S", target_classes=[EX + "Person"],
+        properties=[
+            PropertyConstraint(path=EX + "knows"),
+            PropertyConstraint(path=EX + "age"),
+        ],
+        closed=True,
+    )
+    got, _ = _viol(spark, g, [ns])
+    assert got == {(EX + "p1", "closed", "active"), (EX + "p2", "closed", "retired")}
+
+    ns.ignored_properties = [EX + "status"]
+    got, rep = _viol(spark, g, [ns])
+    assert got == set() and rep.conforms
+
+
+def test_target_subjects_and_objects_of(spark):
+    g = _graph(spark)
+    # subjects of knows: p1 only; objects of knows: p2, p3
+    ns = NodeShape("S", target_subjects_of=[EX + "knows"],
+                   properties=[PropertyConstraint(path=EX + "knows", max_count=1)])
+    got, _ = _viol(spark, g, [ns])
+    assert got == {(EX + "p1", "maxCount", "2")}
+
+    ns = NodeShape("S", target_objects_of=[EX + "knows"],
+                   properties=[PropertyConstraint(path=EX + "status", min_count=1)])
+    got, _ = _viol(spark, g, [ns])
+    # p2 has a status; p3 does not
+    assert got == {(EX + "p3", "minCount", "0")}
+
+
+def test_deactivated_shape_skipped(spark):
+    g = _graph(spark)
+    ns = NodeShape("S", target_classes=[EX + "Person"], deactivated=True,
+                   properties=[PropertyConstraint(path=EX + "knows", min_count=99)])
+    got, rep = _viol(spark, g, [ns])
+    assert got == set() and rep.conforms and rep.shapes_evaluated == 0
+
+
+def test_inverse_path(spark):
+    g = _graph(spark)
+    # inverse of knows: who points AT the focus.  p2/p3 are known-by p1 (ok);
+    # p1 is known-by nobody (minCount violation)
+    pc = PropertyConstraint(path=EX + "knows", inverse=True, min_count=1,
+                            clazz=EX + "Person")
+    got, _ = _viol(spark, g, [NodeShape("S", target_classes=[EX + "Person"], properties=[pc])])
+    assert got == {(EX + "p1", "minCount", "0")}
