@@ -465,8 +465,17 @@ def validate(
     ):
         if extra is not None:
             violations = violations.unionByName(extra)
+    # the checkpoint makes the returned frame's plan opaque; keep the logical
+    # frame around so scripts/plan_audit.py can audit the REAL dataflow
+    global _LAST_PLAN_FRAME
+    _LAST_PLAN_FRAME = violations
     violations = violations.localCheckpoint(eager=True)
     return ValidationReport(violations, violations.isEmpty(), len(shapes))
+
+
+# pre-checkpoint violations frame of the most recent validate() call
+# (plan-audit introspection only — never used for results)
+_LAST_PLAN_FRAME: DataFrame | None = None
 
 
 def _pair_violations(
