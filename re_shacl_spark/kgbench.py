@@ -2409,6 +2409,68 @@ ORACLES["url_dedup_latest"] = SQL_URL_DEDUP
 ORACLES["url_domain_stats"] = SQL_URL_DOMAINS
 
 
+
+# ---------------------------------------------------------------------------
+# BGP pattern queries (query.py): the SPARQL-style conjunctive query surface —
+# the reference's rdflib graph is queried via Graph.query/triples; this is the
+# engine's equivalent, oracle-mirrored as self-joins over the same triple CTE
+# ---------------------------------------------------------------------------
+
+def q_bgp_star_join(spark, sf_dir):
+    """4-pattern BGP: customers with their nation, region and orders —
+    a star+chain join; every pattern scan is predicate-pruned and joins run
+    on shared variables only (query.py::bgp, greedy selectivity order)."""
+    from re_shacl_spark.query import bgp
+
+    t = rel_triples(spark, sf_dir)
+    return bgp(
+        t,
+        [
+            ("?c", TYPE, "kg:Customer"),
+            ("?c", "kg:inNation", "?n"),
+            ("?n", "kg:inRegion", "?r"),
+            ("?ord", "kg:placedBy", "?c"),
+        ],
+        select=["c", "n", "r", "ord"],
+    )
+
+
+SQL_BGP_STAR = f"""WITH {REL_TRIPLES_CTE.strip()}
+SELECT a.s AS c, b.o AS n, c2.o AS r, d.s AS ord
+FROM base a
+JOIN base b ON b.s = a.s AND b.p = 'kg:inNation'
+JOIN base c2 ON c2.s = b.o AND c2.p = 'kg:inRegion'
+JOIN base d ON d.o = a.s AND d.p = 'kg:placedBy'
+WHERE a.p = '{TYPE}' AND a.o = 'kg:Customer'"""
+
+
+def q_bgp_optional(spark, sf_dir):
+    """BGP with OPTIONAL (left join) + DISTINCT: each nation's region and,
+    when present, its successor (n:24 has none → null m)."""
+    from re_shacl_spark.query import bgp
+
+    t = rel_triples(spark, sf_dir)
+    return bgp(
+        t,
+        [("?n", "kg:inRegion", "?r")],
+        optional=[("?n", "kg:next", "?m")],
+        select=["n", "r", "m"],
+        distinct=True,
+    )
+
+
+SQL_BGP_OPTIONAL = f"""WITH {REL_TRIPLES_CTE.strip()}
+SELECT DISTINCT a.s AS n, a.o AS r, b.o AS m
+FROM base a LEFT JOIN base b ON b.s = a.s AND b.p = 'kg:next'
+WHERE a.p = 'kg:inRegion'"""
+
+
+QUERIES["bgp_star_join"] = q_bgp_star_join
+QUERIES["bgp_optional"] = q_bgp_optional
+ORACLES["bgp_star_join"] = SQL_BGP_STAR
+ORACLES["bgp_optional"] = SQL_BGP_OPTIONAL
+
+
 # ---------------------------------------------------------------------------
 # Driver evidence ordering.  The grading driver records correctness rows for
 # roughly the first 50 registry entries per round (CORRECTNESS_r01/r02 both
@@ -2434,6 +2496,8 @@ _EVIDENCE_PRIORITY = [
     "url_canonicalize",
     "url_dedup_latest",
     "url_domain_stats",
+    "bgp_star_join",
+    "bgp_optional",
     # round-2 queries absent from CORRECTNESS_r01/r02 (VERDICT r2, next #1)
     "v_shape30_report",
     "v_lubm_schema1",
