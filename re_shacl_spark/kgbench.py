@@ -2471,6 +2471,35 @@ ORACLES["bgp_star_join"] = SQL_BGP_STAR
 ORACLES["bgp_optional"] = SQL_BGP_OPTIONAL
 
 
+
+# ---------------------------------------------------------------------------
+# incremental fusion (pipeline.fuse_delta): the crawl-increment entry point —
+# close a base KG, then extend it with held-back ABox rows; the final state
+# must equal full fusion over everything, so the oracle IS the kg_fuse SQL
+# ---------------------------------------------------------------------------
+
+def q_kg_fuse_delta(spark, sf_dir):
+    """fuse_delta over a base missing ~1/7 of the kg:placedBy edges plus the
+    n:12 kg:next chain link.  The delta re-triggers exactly what it must:
+    linear domain/range/inverse/subclass typing on the new edges, and the
+    transitive re-closure across the restored bridge (old-chain × old-chain
+    consequences).  Output equals SQL_KG_FUSE — full fusion over the union."""
+    from re_shacl_spark.pipeline import fuse_delta
+
+    t = rel_triples(spark, sf_dir)
+    delta_cond = (
+        (F.col("p") == "kg:placedBy")
+        & (F.expr("cast(substring(s, 3) as long)") % 7 == 0)
+    ) | ((F.col("p") == "kg:next") & (F.col("s") == "n:12"))
+    base = fuse(spark, t.filter(~delta_cond), assume_distinct=True)
+    res = fuse_delta(spark, base, t.filter(delta_cond))
+    return _spo(res.triples)
+
+
+QUERIES["kg_fuse_delta"] = q_kg_fuse_delta
+ORACLES["kg_fuse_delta"] = SQL_KG_FUSE
+
+
 # ---------------------------------------------------------------------------
 # Driver evidence ordering.  The grading driver records correctness rows for
 # roughly the first 50 registry entries per round (CORRECTNESS_r01/r02 both
@@ -2498,6 +2527,7 @@ _EVIDENCE_PRIORITY = [
     "url_domain_stats",
     "bgp_star_join",
     "bgp_optional",
+    "kg_fuse_delta",
     # round-2 queries absent from CORRECTNESS_r01/r02 (VERDICT r2, next #1)
     "v_shape30_report",
     "v_lubm_schema1",

@@ -97,30 +97,44 @@ def fuse(
     cc_salts: int = 8,
     assume_distinct: bool = False,
     profile: str = "owl",
+    base: FusionResult | None = None,
 ) -> FusionResult:
     """Scoped reasoning + sameAs canonicalization to fixpoint.
 
     Returns the fused graph with deterministic min-IRI representatives; the
     provenance triples (rep, owl:sameAs, member) are re-emitted like the
     reference does at re_shacl.py:734-737.
+
+    With ``base`` set (use :func:`fuse_delta`), ``triples`` is an ABox-only
+    DELTA extending an already-closed fusion result: incoming ids are routed
+    through the established rep map, linear rules feed on the delta only
+    (they commute with the rewrite, so the closed base stays closed), and the
+    transitive/sameAs stages run only when the delta can actually trigger
+    them — the crawl-increment case (no new sameAs, no transitive edges)
+    costs O(|delta|) rule joins plus one anti-join, never a base re-closure.
     """
     ensure_fixpoint_confs(spark)
     rdfs = profile == "rdfs"
-    tbox_rows = extract_tbox(triples)
+    first_full = base is None
+    src_triples = triples if first_full else base.triples
+    tbox_rows = extract_tbox(src_triples)
     tbox = build_tbox_index(tbox_rows, rdfs_mode=rdfs)
     engine = RuleEngine(spark, tbox, scope or Scope.unrestricted(), profile=profile)
 
     # TBox-level equivalence collapse first (class + property reps) — the
-    # reference's merge_target_classes / merge_same_property stages.
-    static_pairs = tbox.class_rep_pairs() + tbox.prop_rep_pairs()
-    cur = apply_static_map(triples, static_pairs)
+    # reference's merge_target_classes / merge_same_property stages.  The
+    # incremental path skips it: the base is closed and the delta carries no
+    # TBox rows (fuse_delta falls back to full fusion otherwise).
+    static_pairs = (tbox.class_rep_pairs() + tbox.prop_rep_pairs()) if first_full else []
+    cur = apply_static_map(triples, static_pairs) if first_full else None
 
     # materialize the TBox transitive closures as triples (scm-sco / scm-spo) so
     # the fused graph is self-contained like the reference's owlrl output —
     # TBox-sized, so this union is negligible
-    closure_rows = [
-        (a, vocab.SUBCLASS, b) for a, b in tbox.subclass_closure_pairs()
-    ] + [(a, vocab.SUBPROP, b) for a, b in tbox.subprop_closure_pairs()]
+    closure_rows = (
+        [(a, vocab.SUBCLASS, b) for a, b in tbox.subclass_closure_pairs()]
+        + [(a, vocab.SUBPROP, b) for a, b in tbox.subprop_closure_pairs()]
+    ) if first_full else []
     if closure_rows:
         closure_df = spark.createDataFrame(closure_rows, ["s", "p", "o"]).select(
             "s",
@@ -135,7 +149,7 @@ def fuse(
             # distinct) input instead of re-shuffling the whole graph
             closure_df = closure_df.join(cur, ["s", "p", "o"], "left_anti")
         cur = cur.unionByName(closure_df)
-    if not assume_distinct:
+    if first_full and not assume_distinct:
         # unknown provenance: one global dedup, materialized once
         cur = dedup_triples(cur).localCheckpoint(eager=True)
     # assume_distinct: leave cur as parquet-backed union — re-materializing the
@@ -150,7 +164,28 @@ def fuse(
     # "a merge happened last round" (or new edges arrived).
     rep_map: DataFrame | None = None
     rounds = 0
-    delta = cur
+    if first_full:
+        delta = cur
+    else:
+        # incremental init: canonicalize the delta into the base's id space,
+        # keep only genuinely-new rows, and seed the semi-naive loop with them
+        d = dedup_triples(triples)
+        rep_map = base.rep_map
+        if rep_map is not None and not rep_map.isEmpty():
+            n_rep = rep_map.count()
+            d = canonicalize_triples(d, rep_map, broadcast=n_rep <= BROADCAST_REP_MAP_MAX_ROWS)
+        delta = d.join(base.triples, ["s", "p", "o"], "left_anti").localCheckpoint(eager=True)
+        cur = base.triples.unionByName(delta)
+        if delta.isEmpty():
+            # nothing new: the base is already the fixpoint
+            counts = run_all_checks(base.triples, tbox) if run_checks else {}
+            return FusionResult(
+                triples=base.triples,
+                rep_map=base.rep_map
+                if base.rep_map is not None
+                else spark.createDataFrame([], "member string, rep string"),
+                tbox=tbox, rounds=0, check_counts=counts,
+            )
     merged_last = False
     trans_props = sorted(tbox.transitive)
     # purely-linear rule sets: a merge cannot enable anything new (linear rules
@@ -162,7 +197,11 @@ def fuse(
     # these, the driver-closed maps go stale and must be rebuilt from the
     # rewritten graph (classes/properties CAN be sameAs-merged — eq-rep-p)
     tbox_terms = sorted({t for row in tbox_rows for t in row})
-    lin_made_trans = False  # linear rules emitted a trans-pred edge last round
+    # linear rules emitted a trans-pred edge last round; the incremental path
+    # seeds it from the delta itself (a delta trans-edge must trigger closure)
+    lin_made_trans = bool(trans_props) and not first_full and (
+        not delta.filter(F.col("p").isin(trans_props)).isEmpty()
+    )
     for rounds in range(1, max_rounds + 1):
         progressed = False
         _rt = _trace_t()
@@ -175,14 +214,14 @@ def fuse(
         # closure(closure(G)) = closure(G) — which previously cost one full
         # closure + full-graph anti-join per confirmation round.
         include_trans = trans_props and (
-            rounds == 1 or merged_last or lin_made_trans
+            (first_full and rounds == 1) or merged_last or lin_made_trans
         )
         if trans_props:
             # cheap delta-fed probe on the linear frame BEFORE the closure is
             # unioned in — decides next round's trigger.  Round 1's delta is
             # the whole graph (probe not cheap): assume true conservatively.
             lin_made_trans = (
-                rounds == 1
+                (first_full and rounds == 1)
                 or not derived.filter(F.col("p").isin(trans_props)).isEmpty()
             )
         if include_trans:
@@ -193,7 +232,7 @@ def fuse(
         # probe re-evaluates the derive plan, which is cheap ONLY for the
         # delta-fed linear rules — never probe when the transitive closure is
         # in the union (it would run the closure twice per round).
-        if not include_trans and rounds > 1 and derived.isEmpty():
+        if not include_trans and not (first_full and rounds == 1) and derived.isEmpty():
             new = derived.limit(0).localCheckpoint(eager=True)
             has_new = False
         else:
@@ -211,7 +250,7 @@ def fuse(
         # sameAs closure + canonical rewrite: needed on round 1, after new
         # facts, or after a merge (merging can enable J9/J10 anew)
         need_sameas = rounds == 1 or has_new or merged_last
-        if need_sameas and rounds > 1 and not merged_last and not (
+        if need_sameas and not (first_full and rounds == 1) and not merged_last and not (
             tbox.functional or tbox.inverse_functional
         ):
             # without functional/inverse-functional axioms the only edge
@@ -220,7 +259,12 @@ def fuse(
             # probe on the checkpointed delta replaces the full CC machinery
             # (derive_sameas scan + dedup + component probe jobs) on rounds
             # that cannot merge anything
-            need_sameas = has_new and not new.filter(F.col("p") == vocab.SAMEAS).isEmpty()
+            # incremental round 1: the delta's OWN rows are in `delta`, not in
+            # the derived `new` frame — probe both for explicit sameAs edges
+            probe = new if has_new else new.limit(0)
+            if not first_full and rounds == 1:
+                probe = probe.unionByName(delta)
+            need_sameas = not probe.filter(F.col("p") == vocab.SAMEAS).isEmpty()
         merged_last = False
         if need_sameas:
             # connected_components handles empty edge frames itself; one
@@ -310,6 +354,29 @@ def fuse(
 
     counts = run_all_checks(cur, tbox) if run_checks else {}
     return FusionResult(triples=cur, rep_map=rep_map, tbox=tbox, rounds=rounds, check_counts=counts)
+
+
+def fuse_delta(
+    spark: SparkSession,
+    base: FusionResult,
+    delta: DataFrame,
+    **kwargs,
+) -> FusionResult:
+    """Incremental fusion: extend a CLOSED fusion result with a batch of new
+    triples — the crawl-increment entry point (daily WARC deltas at 10^12-page
+    scale must not re-close the whole KG).
+
+    ABox-only deltas run the delta-fed fixpoint (see :func:`fuse` with
+    ``base``): linear rules join only the delta against broadcast TBox maps;
+    the transitive closure and sameAs machinery run only when the delta can
+    trigger them.  A delta carrying NEW TBox axioms falls back to full
+    re-fusion — a new axiom entails over the entire base, which no delta-fed
+    pass can deliver.  Equivalence ``fuse_delta(fuse(A), B) == fuse(A ∪ B)``
+    is pytest-asserted and oracle-gated (``kg_fuse_delta``)."""
+    delta_tbox = set(extract_tbox(delta))
+    if delta_tbox - set(extract_tbox(base.triples)):
+        return fuse(spark, base.triples.unionByName(dedup_triples(delta)), **kwargs)
+    return fuse(spark, delta, base=base, **kwargs)
 
 
 # ---------------------------------------------------------------------------
