@@ -2500,6 +2500,41 @@ QUERIES["kg_fuse_delta"] = q_kg_fuse_delta
 ORACLES["kg_fuse_delta"] = SQL_KG_FUSE
 
 
+
+# ---------------------------------------------------------------------------
+# streaming KG maintenance (streaming/fusion.py): the fused graph kept current
+# per micro-batch via fuse_delta — final state must equal one batch fusion
+# over everything, so the oracle is SQL_KG_FUSE again
+# ---------------------------------------------------------------------------
+
+def q_stream_fuse(spark, sf_dir):
+    """Two-increment streaming fusion over the relational KG: batch 1 carries
+    the TBox + ~6/7 of the ABox, batch 2 the held-back placedBy edges and the
+    n:12 kg:next bridge.  foreachBatch folds each increment into the versioned
+    fused state (exactly-once via checkpoint log + pointer swap); the final
+    state equals full fusion (streaming/fusion.py, pipeline.fuse_delta)."""
+    import tempfile
+
+    from re_shacl_spark.streaming.fusion import run_streaming_fusion
+
+    base = tempfile.mkdtemp(prefix="re_shacl_sf_")
+    tdir, sdir, ckpt = f"{base}/t", f"{base}/state", f"{base}/ckpt"
+    t = rel_triples(spark, sf_dir)
+    delta_cond = (
+        (F.col("p") == "kg:placedBy")
+        & (F.expr("cast(substring(s, 3) as long)") % 7 == 0)
+    ) | ((F.col("p") == "kg:next") & (F.col("s") == "n:12"))
+    t.filter(~delta_cond).write.parquet(f"{tdir}/b1")
+    run_streaming_fusion(spark, tdir + "/*", sdir, ckpt)
+    t.filter(delta_cond).write.parquet(f"{tdir}/b2")
+    res = run_streaming_fusion(spark, tdir + "/*", sdir, ckpt)
+    return _spo(res.triples)
+
+
+QUERIES["stream_fuse"] = q_stream_fuse
+ORACLES["stream_fuse"] = SQL_KG_FUSE
+
+
 # ---------------------------------------------------------------------------
 # Driver evidence ordering.  The grading driver records correctness rows for
 # roughly the first 50 registry entries per round (CORRECTNESS_r01/r02 both
@@ -2528,6 +2563,7 @@ _EVIDENCE_PRIORITY = [
     "bgp_star_join",
     "bgp_optional",
     "kg_fuse_delta",
+    "stream_fuse",
     # round-2 queries absent from CORRECTNESS_r01/r02 (VERDICT r2, next #1)
     "v_shape30_report",
     "v_lubm_schema1",

@@ -1,0 +1,120 @@
+"""Streaming KG maintenance: per-micro-batch incremental fusion.
+
+incremental.py streams the stateless FRONT END (extract → mentions → emit) and
+historically left the fusion fixpoint batch-only ("it is a whole-graph
+fixpoint").  pipeline.fuse_delta removes that constraint: each micro-batch of
+triples extends the closed KG via the delta-fed fixpoint, so the fused,
+canonicalized, validated graph is maintained continuously instead of being
+re-closed from scratch per ingest.
+
+Exactly-once without distributed transactions:
+
+* the streaming checkpoint (``checkpoint_dir``) tracks which input files each
+  micro-batch consumed (file-source log, Trigger.AvailableNow);
+* fused state is written to a fresh ``state_dir/v{batch_id}`` directory, then
+  a one-line pointer file is atomically replaced (``os.replace``) — readers
+  never observe a half-written state;
+* on crash-replay of a batch whose state already landed (pointer moved but
+  the checkpoint commit didn't), the pointer equals ``v{batch_id}`` and the
+  batch is skipped outright; a crash BEFORE the pointer swap leaves the
+  pointer on the previous version and the replay recomputes ``v{batch_id}``
+  from scratch (mode=overwrite clears partial files) — the sink is
+  idempotent, which is exactly the property foreachBatch requires.
+
+At crawl scale each increment costs O(|delta|) rule joins (see fuse_delta);
+state I/O is one parquet write of the graph per batch — on a real deployment
+that becomes an Iceberg/Delta table MERGE, the layout here is the minimal
+dependency-free equivalent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from re_shacl_spark.model.triples import TRIPLE_SCHEMA
+from re_shacl_spark.pipeline import FusionResult, fuse, fuse_delta
+
+_POINTER = "CURRENT"
+
+
+def _read_pointer(state_dir: str) -> str | None:
+    try:
+        with open(os.path.join(state_dir, _POINTER)) as f:
+            v = f.read().strip()
+        return v or None
+    except FileNotFoundError:
+        return None
+
+
+def _write_pointer(state_dir: str, version: str) -> None:
+    tmp = os.path.join(state_dir, _POINTER + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(version)
+    os.replace(tmp, os.path.join(state_dir, _POINTER))
+
+
+def load_state(spark: SparkSession, state_dir: str) -> FusionResult | None:
+    """Current fused state (triples + rep map), or None before the first batch."""
+    v = _read_pointer(state_dir)
+    if v is None:
+        return None
+    base = os.path.join(state_dir, v)
+    return FusionResult(
+        triples=spark.read.parquet(os.path.join(base, "triples")),
+        rep_map=spark.read.parquet(os.path.join(base, "rep_map")),
+        tbox=None,  # re-derived by fuse_delta from the triples
+        rounds=0,
+        check_counts={},
+    )
+
+
+def _apply_batch(spark: SparkSession, state_dir: str, batch: DataFrame, batch_id: int) -> None:
+    if _read_pointer(state_dir) == f"v{batch_id}":
+        # crash-replay of a fully-applied batch (state landed, checkpoint
+        # commit didn't): the pointer only ever moves AFTER a complete state
+        # write, so this batch's effect is already durable — skip.  A crash
+        # BEFORE the pointer swap leaves the pointer on the previous version
+        # and the replay recomputes into v{batch_id} from scratch (overwrite).
+        return
+    base = load_state(spark, state_dir)
+    if base is None:
+        res = fuse(spark, batch)
+    else:
+        res = fuse_delta(spark, base, batch)
+    vdir = os.path.join(state_dir, f"v{batch_id}")
+    res.triples.write.mode("overwrite").parquet(os.path.join(vdir, "triples"))
+    res.rep_map.write.mode("overwrite").parquet(os.path.join(vdir, "rep_map"))
+    _write_pointer(state_dir, f"v{batch_id}")
+
+
+def run_streaming_fusion(
+    spark: SparkSession,
+    triples_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    max_files: int = 64,
+) -> FusionResult:
+    """Drain all unseen triple files (Trigger.AvailableNow), folding each
+    micro-batch into the fused state; returns the final state.  Re-invocation
+    picks up exactly where the checkpoint log left off — the batch analog of
+    a continuously-running maintenance query."""
+    os.makedirs(state_dir, exist_ok=True)
+    stream = (
+        spark.readStream.schema(TRIPLE_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(triples_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: _apply_batch(spark, state_dir, df, bid)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state = load_state(spark, state_dir)
+    assert state is not None, "stream drained but no state was written"
+    return state

@@ -1,0 +1,70 @@
+"""Streaming KG maintenance (streaming/fusion.py): per-micro-batch fuse_delta
+must land in the same state as one batch fusion over everything, survive
+re-invocation, and stay idempotent under crash-replay of an applied batch."""
+
+from __future__ import annotations
+
+from re_shacl_spark.model.triples import iri_triple, triples_df, vocab
+from re_shacl_spark.pipeline import fuse
+from re_shacl_spark.streaming.fusion import _apply_batch, load_state, run_streaming_fusion
+
+X = "http://x.org/"
+
+
+def _rows(lo: int, hi: int):
+    out = [
+        iri_triple(X + f"a{i}", X + "knows", X + f"a{i + 1}") for i in range(lo, hi)
+    ]
+    out += [iri_triple(X + f"a{i}", vocab.TYPE, X + "P") for i in range(lo, hi)]
+    if lo == 0:  # TBox arrives with the first chunk
+        out += [
+            iri_triple(X + "knows", vocab.RDFS + "domain", X + "Agent"),
+            iri_triple(X + "t", vocab.TYPE, vocab.OWL + "TransitiveProperty"),
+        ]
+        out += [iri_triple(X + f"a{i}", X + "t", X + f"a{i + 1}") for i in (0, 1)]
+    else:
+        # a bridge edge whose closure must join chains from earlier batches
+        out += [iri_triple(X + f"a{lo}", X + "t", X + f"a{lo + 1}")]
+        out += [iri_triple(X + f"a{lo}", vocab.SAMEAS, X + f"b{lo}")]
+    return out
+
+
+def _tset(df):
+    return {(r.s, r.p, r.o) for r in df.collect()}
+
+
+def test_stream_fusion_equals_batch(spark, tmp_path):
+    tdir, sdir, ck = (str(tmp_path / d) for d in ("t", "s", "ck"))
+    chunks = [_rows(0, 4), _rows(4, 8), _rows(8, 12)]
+    for c in chunks[:2]:
+        triples_df(spark, c).write.mode("append").parquet(tdir)
+    # one file per trigger → at least two micro-batches
+    res = run_streaming_fusion(spark, tdir, sdir, ck, max_files=1)
+    want = fuse(spark, triples_df(spark, chunks[0] + chunks[1]))
+    assert _tset(res.triples) == _tset(want.triples)
+
+    # re-invocation with a third chunk: only the delta is folded in
+    triples_df(spark, chunks[2]).write.mode("append").parquet(tdir)
+    res2 = run_streaming_fusion(spark, tdir, sdir, ck, max_files=1)
+    want2 = fuse(spark, triples_df(spark, chunks[0] + chunks[1] + chunks[2]))
+    assert _tset(res2.triples) == _tset(want2.triples)
+
+    # re-invocation with nothing new: state unchanged
+    res3 = run_streaming_fusion(spark, tdir, sdir, ck, max_files=1)
+    assert _tset(res3.triples) == _tset(res2.triples)
+
+
+def test_crash_replay_is_idempotent(spark, tmp_path):
+    sdir = str(tmp_path / "s")
+    import os
+
+    os.makedirs(sdir, exist_ok=True)
+    b0 = triples_df(spark, _rows(0, 4))
+    b1 = triples_df(spark, _rows(4, 8))
+    _apply_batch(spark, sdir, b0, 0)
+    _apply_batch(spark, sdir, b1, 1)
+    once = _tset(load_state(spark, sdir).triples)
+    # crash between state write and checkpoint commit → batch 1 re-applies
+    _apply_batch(spark, sdir, b1, 1)
+    again = load_state(spark, sdir)
+    assert _tset(again.triples) == once
