@@ -132,6 +132,38 @@ def main() -> None:
     except Exception:
         pass
 
+    # incremental-maintenance metric: folding a ~15% ABox increment into a
+    # closed base via fuse_delta vs re-closing everything (the kg_fuse wall).
+    # Identical output row count is asserted — speedup without parity is noise.
+    delta_increment = None
+    try:
+        from pyspark.sql import functions as F
+
+        from re_shacl_spark.pipeline import fuse, fuse_delta
+
+        t = kgbench.rel_triples(spark, sf_dir)
+        plain = (F.col("p") == "kg:placedBy") & (
+            F.expr("cast(substring(s, 3) as long)") % 7 == 0
+        )
+        bridge = plain | ((F.col("p") == "kg:next") & (F.col("s") == "n:12"))
+        delta_increment = {"full_refuse_sec": per_q.get("kg_fuse")}
+        for label, cond in (("plain_abox", plain), ("trans_bridge", bridge)):
+            base = fuse(spark, t.filter(~cond), assume_distinct=True)
+            _force(base.triples)  # settle the base outside the timed window
+            t0 = time.time()
+            inc = fuse_delta(spark, base, t.filter(cond))
+            inc_rows = _force(inc.triples)
+            t_inc = time.time() - t0
+            delta_increment[label] = {
+                "increment_sec": round(t_inc, 2),
+                "rows_match_full": inc_rows == rows.get("kg_fuse"),
+                "speedup_vs_refuse": round(per_q["kg_fuse"] / t_inc, 2)
+                if per_q.get("kg_fuse")
+                else None,
+            }
+    except Exception:
+        pass
+
     total = round(sum(per_q.values()), 3)
     print(
         json.dumps(
@@ -144,6 +176,7 @@ def main() -> None:
                 "triples_per_sec": triples_per_sec,
                 "fuse_stress_triples_per_sec": fuse_stress,
                 "expand_ablation": expand_blowup,
+                "delta_increment": delta_increment,
                 "rows": rows,
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
             }

@@ -98,6 +98,7 @@ def fuse(
     assume_distinct: bool = False,
     profile: str = "owl",
     base: FusionResult | None = None,
+    _tbox_rows: list[tuple[str, str, str]] | None = None,
 ) -> FusionResult:
     """Scoped reasoning + sameAs canonicalization to fixpoint.
 
@@ -117,7 +118,8 @@ def fuse(
     rdfs = profile == "rdfs"
     first_full = base is None
     src_triples = triples if first_full else base.triples
-    tbox_rows = extract_tbox(src_triples)
+    # fuse_delta already scanned the base for its fallback check — reuse
+    tbox_rows = _tbox_rows if _tbox_rows is not None else extract_tbox(src_triples)
     tbox = build_tbox_index(tbox_rows, rdfs_mode=rdfs)
     engine = RuleEngine(spark, tbox, scope or Scope.unrestricted(), profile=profile)
 
@@ -168,13 +170,25 @@ def fuse(
         delta = cur
     else:
         # incremental init: canonicalize the delta into the base's id space,
-        # keep only genuinely-new rows, and seed the semi-naive loop with them
+        # pre-close it under the LINEAR rules against small frames only (the
+        # rules are broadcast joins, so closing a 10k-row delta is 10k-row
+        # work), then pay the full-graph novelty anti-join exactly ONCE —
+        # the per-round variant re-shuffled the whole base every round
         d = dedup_triples(triples)
         rep_map = base.rep_map
         if rep_map is not None and not rep_map.isEmpty():
             n_rep = rep_map.count()
             d = canonicalize_triples(d, rep_map, broadcast=n_rep <= BROADCAST_REP_MAP_MAX_ROWS)
-        delta = d.join(base.triples, ["s", "p", "o"], "left_anti").localCheckpoint(eager=True)
+        acc = d.localCheckpoint(eager=True)
+        step = acc
+        for _ in range(32):  # linear rule composition depth is tiny (≤4)
+            nd = engine.derive_linear(step).dropDuplicates(["s", "p", "o"])
+            nd = nd.join(acc, ["s", "p", "o"], "left_anti").localCheckpoint(eager=True)
+            if nd.isEmpty():
+                break
+            acc = acc.unionByName(nd)
+            step = nd
+        delta = acc.join(base.triples, ["s", "p", "o"], "left_anti").localCheckpoint(eager=True)
         cur = base.triples.unionByName(delta)
         if delta.isEmpty():
             # nothing new: the base is already the fixpoint
@@ -206,7 +220,12 @@ def fuse(
         progressed = False
         _rt = _trace_t()
 
-        derived = engine.derive_linear(delta)
+        # the incremental delta is already linearly closed (init above) —
+        # round 1 skips the re-derivation AND its full-graph anti-join
+        if not first_full and rounds == 1:
+            derived = delta.limit(0)
+        else:
+            derived = engine.derive_linear(delta)
         # Re-run the transitive closure only when something can EXTEND it: a
         # merge (equated nodes join chains) or a trans-pred edge emitted by the
         # LINEAR rules last round (e.g. subPropertyOf into a transitive
@@ -373,10 +392,10 @@ def fuse_delta(
     re-fusion — a new axiom entails over the entire base, which no delta-fed
     pass can deliver.  Equivalence ``fuse_delta(fuse(A), B) == fuse(A ∪ B)``
     is pytest-asserted and oracle-gated (``kg_fuse_delta``)."""
-    delta_tbox = set(extract_tbox(delta))
-    if delta_tbox - set(extract_tbox(base.triples)):
+    base_tbox_rows = extract_tbox(base.triples)
+    if set(extract_tbox(delta)) - set(base_tbox_rows):
         return fuse(spark, base.triples.unionByName(dedup_triples(delta)), **kwargs)
-    return fuse(spark, delta, base=base, **kwargs)
+    return fuse(spark, delta, base=base, _tbox_rows=base_tbox_rows, **kwargs)
 
 
 # ---------------------------------------------------------------------------
