@@ -2535,6 +2535,50 @@ QUERIES["stream_fuse"] = q_stream_fuse
 ORACLES["stream_fuse"] = SQL_KG_FUSE
 
 
+
+# ---------------------------------------------------------------------------
+# sh:severity / sh:message report detail (validate(with_details=True)):
+# per-constraint severity overrides the shape default; sh:Violation otherwise
+# ---------------------------------------------------------------------------
+
+def q_v_severity(spark, sf_dir):
+    """Detailed report: the shape defaults to sh:Warning + a shape message;
+    the segment constraint overrides with sh:Info + its own message
+    (validate/engine.py: detail_cols; shapes.py severity/message fields)."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    ordered = _rows(orders, _iri("c:", F.col("o_custkey")), "kg:ordered", _iri("o:", F.col("o_orderkey")))
+    seg = _lit_rows(cust, _iri("c:", F.col("c_custkey")), "kg:segment", F.col("c_mktsegment"), F.lit(XSD_STRING))
+    t = _cust_targets(spark, sf_dir).unionByName(ordered).unionByName(seg)
+    shapes = [NodeShape(
+        "sh:CustShape", target_classes=["kg:Customer"],
+        severity=vocab.SH + "Warning", message="needs at least 2 orders",
+        properties=[
+            PropertyConstraint(path="kg:ordered", min_count=2),
+            PropertyConstraint(path="kg:segment", in_values=list(_SEG_OK),
+                               severity=vocab.SH + "Info", message="segment not allowed"),
+        ],
+    )]
+    return validate(spark, t, shapes, with_details=True).violations
+
+
+SQL_V_SEVERITY = f"""WITH v AS (SELECT 'c:'||o_custkey::varchar f, 'o:'||o_orderkey::varchar o FROM orders),
+c AS (SELECT 'c:'||c_custkey::varchar f FROM customer),
+cnt AS (SELECT c.f, count(DISTINCT v.o) n FROM c LEFT JOIN v ON c.f = v.f GROUP BY c.f)
+SELECT f AS focus, 'sh:CustShape' AS shape, 'kg:ordered' AS path,
+'minCount' AS "constraint", n::varchar AS value,
+'{vocab.SH}Warning' AS severity, 'needs at least 2 orders' AS message
+FROM cnt WHERE n < 2
+UNION ALL
+SELECT 'c:'||c_custkey::varchar, 'sh:CustShape', 'kg:segment', 'value', c_mktsegment,
+'{vocab.SH}Info', 'segment not allowed'
+FROM customer WHERE c_mktsegment NOT IN ('AUTOMOBILE','BUILDING','MACHINERY')"""
+
+
+QUERIES["v_severity"] = q_v_severity
+ORACLES["v_severity"] = SQL_V_SEVERITY
+
+
 # ---------------------------------------------------------------------------
 # Driver evidence ordering.  The grading driver records correctness rows for
 # roughly the first 50 registry entries per round (CORRECTNESS_r01/r02 both
@@ -2564,6 +2608,7 @@ _EVIDENCE_PRIORITY = [
     "bgp_optional",
     "kg_fuse_delta",
     "stream_fuse",
+    "v_severity",
     # round-2 queries absent from CORRECTNESS_r01/r02 (VERDICT r2, next #1)
     "v_shape30_report",
     "v_lubm_schema1",

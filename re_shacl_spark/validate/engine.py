@@ -70,6 +70,8 @@ _PC_SCHEMA = T.StructType(
         # violation)
         T.StructField("comb", T.StringType()),
         T.StructField("is_not", T.BooleanType()),  # node-level sh:not property shape
+        T.StructField("severity", T.StringType()),  # effective sh:severity IRI
+        T.StructField("message", T.StringType()),   # effective sh:message
     ]
 )
 
@@ -108,6 +110,8 @@ def _pc_rows(shapes: list[NodeShape]) -> list[tuple]:
         # focus violates iff the inner shape CONFORMS (counts + all values)
         pcs += [(pc, True) for pc in ns.not_properties]
         for pc, is_not in pcs:
+            sev = pc.severity or ns.severity
+            msg = pc.message or ns.message
             rows.append(
                 (
                     pc_id, ns.shape_id, pc.path, pc.inverse, pc.min_count, pc.max_count,
@@ -116,7 +120,7 @@ def _pc_rows(shapes: list[NodeShape]) -> list[tuple]:
                     pc.max_length, pc.min_inclusive, pc.max_inclusive,
                     pc.min_exclusive, pc.max_exclusive, pc.language_in,
                     pc.unique_lang, pc.q_min_count, pc.q_max_count,
-                    pc.negated, None, None, is_not,
+                    pc.negated, None, None, is_not, sev, msg,
                 )
             )
             for comb, branches in _branch_groups(pc):
@@ -129,7 +133,7 @@ def _pc_rows(shapes: list[NodeShape]) -> list[tuple]:
                             b.max_length, b.min_inclusive, b.max_inclusive,
                             b.min_exclusive, b.max_exclusive, b.language_in,
                             False, None, None,
-                            b.negated, bi, comb, is_not,
+                            b.negated, bi, comb, is_not, sev, msg,
                         )
                     )
             pc_id += 1
@@ -262,16 +266,17 @@ def validate(
     shapes: list[NodeShape],
     tbox: TBoxIndex | None = None,
     max_ref_depth: int | None = None,
+    with_details: bool = False,
     _ref_sets: dict[str, DataFrame] | None = None,
     _extra_focus: dict[str, DataFrame] | None = None,
 ) -> ValidationReport:
     shapes = [s for s in shapes if not s.deactivated]  # sh:deactivated true
     pc_rows = _pc_rows(shapes)
     if not pc_rows:
-        empty = spark.createDataFrame(
-            [], "focus string, shape string, path string, constraint string, value string"
-        )
-        return ValidationReport(empty, True, 0)
+        schema = "focus string, shape string, path string, constraint string, value string"
+        if with_details:
+            schema += ", severity string, message string"
+        return ValidationReport(spark.createDataFrame([], schema), True, 0)
     pcs = F.broadcast(spark.createDataFrame(pc_rows, _PC_SCHEMA))
     base_pcs = pcs.filter(F.col("branch_idx").isNull())
 
@@ -408,18 +413,27 @@ def validate(
     agg = agg.join(
         base_pcs.select(
             "pc_id", "path", "min_count", "max_count", "has_value",
-            "q_min", "q_max", "unique_lang", "is_not",
+            "q_min", "q_max", "unique_lang", "is_not", "severity", "message",
         ),
         "pc_id",
     )
     pos = ~F.coalesce(F.col("is_not"), F.lit(False))
 
+    detail_cols = (
+        [
+            F.coalesce(F.col("severity"), F.lit(SH + "Violation")).alias("severity"),
+            F.col("message"),
+        ]
+        if with_details
+        else []
+    )
     mk = lambda cond, constraint, value: agg.filter(cond).select(  # noqa: E731
         F.col("focus"),
         F.col("shape_id").alias("shape"),
         F.col("path"),
         F.lit(constraint).alias("constraint"),
         value.cast("string").alias("value"),
+        *detail_cols,
     )
     v_min = mk(pos & F.col("min_count").isNotNull() & (F.col("cnt") < F.col("min_count")), "minCount", F.col("cnt"))
     v_max = mk(pos & F.col("max_count").isNotNull() & (F.col("cnt") > F.col("max_count")), "maxCount", F.col("cnt"))
@@ -444,7 +458,7 @@ def validate(
     v_not = mk(~pos & inner_ok, "not", F.col("cnt"))
     v_vals = (
         collapsed.filter(~F.col("_vconf"))
-        .join(base_pcs.select("pc_id", "path", "is_not"), "pc_id")
+        .join(base_pcs.select("pc_id", "path", "is_not", "severity", "message"), "pc_id")
         .filter(~F.coalesce(F.col("is_not"), F.lit(False)))
         .select(
             "focus",
@@ -452,6 +466,7 @@ def validate(
             "path",
             F.lit("value").alias("constraint"),
             F.col("o").cast("string").alias("value"),
+            *detail_cols,
         )
     )
     violations = (
@@ -460,8 +475,8 @@ def validate(
         .unionByName(v_not).unionByName(v_vals)
     )
     for extra in (
-        _pair_violations(spark, triples, targets, shapes),
-        _closed_violations(spark, triples, targets, shapes),
+        _pair_violations(spark, triples, targets, shapes, with_details),
+        _closed_violations(spark, triples, targets, shapes, with_details),
     ):
         if extra is not None:
             violations = violations.unionByName(extra)
@@ -479,7 +494,11 @@ _LAST_PLAN_FRAME: DataFrame | None = None
 
 
 def _pair_violations(
-    spark: SparkSession, triples: DataFrame, targets: DataFrame, shapes: list[NodeShape]
+    spark: SparkSession,
+    triples: DataFrame,
+    targets: DataFrame,
+    shapes: list[NodeShape],
+    with_details: bool = False,
 ) -> DataFrame | None:
     """sh:equals / sh:disjoint / sh:lessThan / sh:lessThanOrEquals — the
     property-PAIR constraints, comparing a focus node's values at the
@@ -504,12 +523,16 @@ def _pair_violations(
                 ("lessThan", pc.less_than), ("lessThanOrEquals", pc.less_than_or_equals),
             ):
                 if other is not None:
-                    rows.append((len(rows), ns.shape_id, pc.path, other, kind, pc.inverse))
+                    rows.append((
+                        len(rows), ns.shape_id, pc.path, other, kind, pc.inverse,
+                        pc.severity or ns.severity, pc.message or ns.message,
+                    ))
     if not rows:
         return None
     prs = spark.createDataFrame(
         rows,
-        "pair_id long, shape_id string, path string, other string, kind string, inverse boolean",
+        "pair_id long, shape_id string, path string, other string, kind string, "
+        "inverse boolean, severity string, message string",
     )
     scoped = targets.join(F.broadcast(prs), "shape_id")  # focus × pair grid
 
@@ -531,8 +554,17 @@ def _pair_violations(
     b = side([(r[0], r[3]) for r in rows], "s", "o", "b")
 
     out = F.col("shape_id").alias("shape")
+    detail_cols = (
+        [
+            F.coalesce(F.col("severity"), F.lit(SH + "Violation")).alias("severity"),
+            F.col("message"),
+        ]
+        if with_details
+        else []
+    )
     mk = lambda df, c, v: df.select(  # noqa: E731
-        "focus", out, "path", F.lit(c).alias("constraint"), v.cast("string").alias("value")
+        "focus", out, "path", F.lit(c).alias("constraint"),
+        v.cast("string").alias("value"), *detail_cols,
     )
     parts: list[DataFrame] = []
     kinds = {r[4] for r in rows}
@@ -540,7 +572,7 @@ def _pair_violations(
     if "equals" in kinds:
         eq = scoped.filter(F.col("kind") == "equals")
         ea = a.filter(F.col("kind") == "equals")
-        eb = b.join(eq.select("pair_id", "focus", "shape_id", "path"), ["pair_id", "focus"])
+        eb = b.join(eq.select("pair_id", "focus", "shape_id", "path").distinct(), ["pair_id", "focus"])
         a_only = ea.join(
             b.withColumnRenamed("b", "a"), ["pair_id", "focus", "a"], "left_anti"
         )
@@ -548,6 +580,10 @@ def _pair_violations(
             a.select("pair_id", "focus", F.col("a").alias("b")).distinct(),
             ["pair_id", "focus", "b"], "left_anti",
         )
+        # eb carried only the join columns — restore the detail columns
+        if with_details:
+            det = F.broadcast(prs.select("pair_id", "severity", "message"))
+            b_only = b_only.join(det, "pair_id")
         parts += [mk(a_only, "equals", F.col("a")), mk(b_only, "equals", F.col("b"))]
 
     if "disjoint" in kinds:
@@ -564,7 +600,10 @@ def _pair_violations(
         lt = (an < bn) if strict else (an <= bn)
         ls = (F.col("a") < F.col("b")) if strict else (F.col("a") <= F.col("b"))
         ok = F.when(an.isNotNull() & bn.isNotNull(), lt).otherwise(ls)
-        bad = pa.filter(~ok).select("pair_id", "focus", "shape_id", "path", "a").distinct()
+        keep = ["pair_id", "focus", "shape_id", "path", "a"] + (
+            ["severity", "message"] if with_details else []
+        )
+        bad = pa.filter(~ok).select(*keep).distinct()
         parts.append(mk(bad, kind, F.col("a")))
 
     res = parts[0]
@@ -574,7 +613,11 @@ def _pair_violations(
 
 
 def _closed_violations(
-    spark: SparkSession, triples: DataFrame, targets: DataFrame, shapes: list[NodeShape]
+    spark: SparkSession,
+    triples: DataFrame,
+    targets: DataFrame,
+    shapes: list[NodeShape],
+    with_details: bool = False,
 ) -> DataFrame | None:
     """sh:closed true — every predicate appearing on a focus node must be a
     declared sh:property path, an sh:ignoredProperties member, or rdf:type.
@@ -599,9 +642,22 @@ def _closed_violations(
         triples.select(F.col("s").alias("focus"), "p", "o"), "focus"
     )
     bad = edges.join(allowed, ["shape_id", "p"], "left_anti")
+    detail_cols = []
+    if with_details:
+        sev_rows = [
+            (ns.shape_id, ns.severity or SH + "Violation", ns.message)
+            for ns in shapes
+            if ns.closed
+        ]
+        sev = F.broadcast(
+            spark.createDataFrame(sev_rows, "shape_id string, severity string, message string")
+        )
+        bad = bad.join(sev, "shape_id")
+        detail_cols = [F.col("severity"), F.col("message")]
     return bad.select(
         "focus", F.col("shape_id").alias("shape"), F.col("p").alias("path"),
         F.lit("closed").alias("constraint"), F.col("o").cast("string").alias("value"),
+        *detail_cols,
     )
 
 

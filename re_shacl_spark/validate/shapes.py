@@ -65,6 +65,8 @@ class PropertyConstraint:
     q_min_count: int | None = None
     q_max_count: int | None = None
     negated: bool = False
+    severity: str | None = None  # sh:severity IRI (falls back to the shape's)
+    message: str | None = None   # sh:message literal
     or_branches: list["PropertyConstraint"] = field(default_factory=list)
     and_branches: list["PropertyConstraint"] = field(default_factory=list)
     xone_branches: list["PropertyConstraint"] = field(default_factory=list)
@@ -92,6 +94,8 @@ class NodeShape:
     target_objects_of: list[str] = field(default_factory=list)
     # sh:deactivated true — the shape is skipped entirely
     deactivated: bool = False
+    severity: str | None = None  # shape-level sh:severity default
+    message: str | None = None
     implicit_class_target: bool = False  # shape IRI doubles as rdfs/owl Class
     properties: list[PropertyConstraint] = field(default_factory=list)
     # node-level constraints attached directly to the shape (sh:class etc.)
@@ -161,6 +165,8 @@ def _compile_property(node: str, pox: dict) -> PropertyConstraint:
         qualified_ref=one("qualifiedValueShape"),
         q_min_count=num("qualifiedMinCount"),
         q_max_count=num("qualifiedMaxCount"),
+        severity=one("severity"),
+        message=one("message"),
     )
     if pc.qualified_ref:
         pc.qualified = _compile_property(pc.qualified_ref, pox)
@@ -223,6 +229,8 @@ def compile_shapes(shape_triples: list[tuple]) -> list[NodeShape]:
             target_subjects_of=sorted(po.get(SH + "targetSubjectsOf", [])),
             target_objects_of=sorted(po.get(SH + "targetObjectsOf", [])),
             deactivated=(po.get(SH + "deactivated", ["false"])[0] in ("true", "1")),
+            severity=(po.get(SH + "severity") or [None])[0],
+            message=(po.get(SH + "message") or [None])[0],
             implicit_class_target=(
                 "http://www.w3.org/2002/07/owl#Class" in po.get(vocab.TYPE, [])
                 or vocab.RDFS + "Class" in po.get(vocab.TYPE, [])
@@ -299,6 +307,8 @@ def rewrite_shapes(shapes: list[NodeShape], node_rep: dict[str, str], class_rep:
             q_min_count=pc.q_min_count,
             q_max_count=pc.q_max_count,
             negated=pc.negated,
+            severity=pc.severity,
+            message=pc.message,
             or_branches=[rw_pc(b) for b in pc.or_branches],
             and_branches=[rw_pc(b) for b in pc.and_branches],
             xone_branches=[rw_pc(b) for b in pc.xone_branches],
@@ -320,6 +330,8 @@ def rewrite_shapes(shapes: list[NodeShape], node_rep: dict[str, str], class_rep:
                 not_properties=[rw_pc(pc) for pc in ns.not_properties],
                 closed=ns.closed,
                 ignored_properties=[p(x) for x in ns.ignored_properties],
+                severity=ns.severity,
+                message=ns.message,
             )
         )
     return out

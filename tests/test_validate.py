@@ -349,3 +349,39 @@ def test_inverse_path(spark):
                             clazz=EX + "Person")
     got, _ = _viol(spark, g, [NodeShape("S", target_classes=[EX + "Person"], properties=[pc])])
     assert got == {(EX + "p1", "minCount", "0")}
+
+
+def test_severity_and_message_details(spark):
+    g = _graph(spark)
+    shapes = [NodeShape(
+        "S", target_classes=[EX + "Person"],
+        severity=vocab.SH + "Warning", message="shape default",
+        properties=[
+            PropertyConstraint(path=EX + "knows", max_count=1),
+            PropertyConstraint(path=EX + "age", datatype=XSD_INT,
+                               severity=vocab.SH + "Info", message="age must be int"),
+        ],
+    )]
+    rep = validate(spark, g, shapes, with_details=True)
+    got = {(r.focus, r.constraint, r.severity, r.message) for r in rep.violations.collect()}
+    assert (EX + "p1", "maxCount", vocab.SH + "Warning", "shape default") in got
+    assert (EX + "p2", "value", vocab.SH + "Info", "age must be int") in got
+    # default schema (no details) unchanged
+    rep2 = validate(spark, g, shapes)
+    assert rep2.violations.columns == ["focus", "shape", "path", "constraint", "value"]
+    # severity defaults to sh:Violation when neither shape nor pc sets one
+    shapes2 = [NodeShape("S", target_classes=[EX + "Person"],
+                         properties=[PropertyConstraint(path=EX + "knows", min_count=3)])]
+    rep3 = validate(spark, g, shapes2, with_details=True)
+    assert {r.severity for r in rep3.violations.collect()} == {vocab.SH + "Violation"}
+    # pair + closed passes carry details too
+    shapes3 = [NodeShape(
+        "S", target_classes=[EX + "Person"], closed=True, severity=vocab.SH + "Warning",
+        properties=[PropertyConstraint(path=EX + "knows"), PropertyConstraint(path=EX + "age"),
+                    PropertyConstraint(path=EX + "knows", disjoint=EX + "knows",
+                                       message="self-overlap")],
+    )]
+    rep4 = validate(spark, g, shapes3, with_details=True)
+    got4 = {(r.constraint, r.severity, r.message) for r in rep4.violations.collect()}
+    assert ("closed", vocab.SH + "Warning", None) in got4
+    assert ("disjoint", vocab.SH + "Warning", "self-overlap") in got4
