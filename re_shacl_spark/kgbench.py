@@ -2471,6 +2471,65 @@ ORACLES["bgp_star_join"] = SQL_BGP_STAR
 ORACLES["bgp_optional"] = SQL_BGP_OPTIONAL
 
 
+def q_bgp_path_closure(spark, sf_dir):
+    """Property path with sequence + one-or-more closure (query.py::eval_path):
+    each customer paired with every nation strictly AFTER its own on the
+    kg:next chain — ``?c (kg:inNation/kg:next+) ?m``.  The + closes by
+    iterative doubling (O(log chain) rounds), then one hash join onto the
+    customer edges."""
+    from re_shacl_spark.query import Path, bgp
+
+    t = rel_triples(spark, sf_dir)
+    return bgp(
+        t,
+        [
+            ("?c", TYPE, "kg:Customer"),
+            ("?c", Path("kg:inNation/kg:next+"), "?m"),
+        ],
+        select=["c", "m"],
+        distinct=True,
+    )
+
+
+SQL_BGP_PATH_CLOSURE = f"""WITH RECURSIVE {REL_TRIPLES_CTE.strip()},
+nxt(s,o) AS (SELECT s, o FROM base WHERE p = 'kg:next'),
+clo(s,o) AS (SELECT s, o FROM nxt UNION SELECT c.s, n.o FROM clo c JOIN nxt n ON c.o = n.s)
+SELECT DISTINCT a.s AS c, clo.o AS m
+FROM base a JOIN clo ON clo.s = a.o
+WHERE a.p = 'kg:inNation' AND a.s LIKE 'c:%'"""
+
+
+def q_bgp_path_inv_alt(spark, sf_dir):
+    """Property path with inverse + alternation: nations with their members
+    (customers AND suppliers, via ``^kg:inNation``) and their chain-successor
+    or region (``kg:next|kg:inRegion``).  Inverse is a column swap (no job);
+    alternation is a union of two predicate-pruned scans."""
+    from re_shacl_spark.query import Path, bgp
+
+    t = rel_triples(spark, sf_dir)
+    return bgp(
+        t,
+        [
+            ("?n", Path("^kg:inNation"), "?e"),
+            ("?n", Path("kg:next|kg:inRegion"), "?x"),
+        ],
+        select=["n", "e", "x"],
+        distinct=True,
+    )
+
+
+SQL_BGP_PATH_INV_ALT = f"""WITH {REL_TRIPLES_CTE.strip()}
+SELECT DISTINCT a.o AS n, a.s AS e, b.o AS x
+FROM base a JOIN base b ON b.s = a.o AND b.p IN ('kg:next', 'kg:inRegion')
+WHERE a.p = 'kg:inNation'"""
+
+
+QUERIES["bgp_path_closure"] = q_bgp_path_closure
+QUERIES["bgp_path_inv_alt"] = q_bgp_path_inv_alt
+ORACLES["bgp_path_closure"] = SQL_BGP_PATH_CLOSURE
+ORACLES["bgp_path_inv_alt"] = SQL_BGP_PATH_INV_ALT
+
+
 
 # ---------------------------------------------------------------------------
 # incremental fusion (pipeline.fuse_delta): the crawl-increment entry point —
@@ -2609,6 +2668,8 @@ _EVIDENCE_PRIORITY = [
     "kg_fuse_delta",
     "stream_fuse",
     "v_severity",
+    "bgp_path_closure",
+    "bgp_path_inv_alt",
     # round-2 queries absent from CORRECTNESS_r01/r02 (VERDICT r2, next #1)
     "v_shape30_report",
     "v_lubm_schema1",

@@ -24,30 +24,51 @@ OPTIONAL patterns become left joins after the required block.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 Pattern = tuple[str, str, str]
 
 
-def _is_var(term: str) -> bool:
-    return term.startswith("?")
+@dataclass(frozen=True)
+class Path:
+    """A SPARQL 1.1 property-path expression used in a pattern's predicate
+    slot: ``bgp(t, [("?x", Path("kg:a/kg:b+"), "?y")])``.
+
+    Grammar (subset of SPARQL 1.1 §9):
+        path  := seq ('|' seq)*           alternation
+        seq   := step ('/' step)*         sequence
+        step  := '^' step                 inverse
+               | atom ('+' | '*' | '?')?  one-or-more / zero-or-more / zero-or-one
+        atom  := '<'IRI'>' | BARE | '(' path ')'
+    BARE tokens may not contain path operator characters (``^|/+*?()`` or
+    whitespace) — full http:// IRIs must be angle-bracketed, prefixed names
+    (``kg:next``) can stay bare.  The explicit wrapper keeps plain-IRI
+    predicates unambiguous (IRIs legitimately contain ``/``)."""
+
+    expr: str
+
+
+def _is_var(term) -> bool:
+    return isinstance(term, str) and term.startswith("?")
 
 
 def _vars_of(pat: Pattern) -> list[str]:
     return [t[1:] for t in pat if _is_var(t)]
 
 
-def _scan(triples: DataFrame, pat: Pattern) -> DataFrame:
-    """One pattern → one filtered scan projecting its variables."""
-    s, p, o = pat
-    df = triples
+def _bind(df: DataFrame, term_cols: list[tuple[str, str]]) -> DataFrame:
+    """Bind pattern terms to the frame's columns: constants filter, variables
+    project (a repeated variable inside one pattern becomes an equality
+    filter)."""
     cols: list[Column] = []
-    seen: dict[str, str] = {}  # var -> first position column (repeat var = filter)
-    for term, col in ((s, "s"), (p, "p"), (o, "o")):
+    seen: dict[str, str] = {}
+    for term, col in term_cols:
         if _is_var(term):
             v = term[1:]
-            if v in seen:  # same variable twice in one pattern: equality filter
+            if v in seen:
                 df = df.filter(F.col(col) == F.col(seen[v]))
             else:
                 seen[v] = col
@@ -55,6 +76,15 @@ def _scan(triples: DataFrame, pat: Pattern) -> DataFrame:
         else:
             df = df.filter(F.col(col) == term)
     return df.select(*cols)
+
+
+def _scan(triples: DataFrame, pat: Pattern) -> DataFrame:
+    """One pattern → one filtered scan projecting its variables.  A ``Path``
+    predicate first evaluates to an (a, b) endpoint-pair relation."""
+    s, p, o = pat
+    if isinstance(p, Path):
+        return _bind(eval_path(triples, p.expr), [(s, "a"), (o, "b")])
+    return _bind(triples, [(s, "s"), (p, "p"), (o, "o")])
 
 
 def _order(patterns: list[Pattern], allow_cross: bool) -> list[Pattern]:
@@ -117,3 +147,186 @@ def bgp(
     if select:
         out = out.select(*select)
     return out.distinct() if distinct else out
+
+
+# ---------------------------------------------------------------------------
+# Property-path evaluation (SPARQL 1.1 §9 subset).
+#
+# Every path expression compiles to a DataFrame with two columns (a, b) — the
+# endpoint pairs it connects — built from predicate-pruned scans of the triple
+# relation:
+#   IRI        one scan, p = IRI pushed to the source
+#   ^e         column swap (no job)
+#   e1/e2      hash join on the shared endpoint (one shuffle per step)
+#   e1|e2      union
+#   e+         iterative-doubling closure: O(log path-length) rounds of
+#              self-join + anti-join novelty gate, localCheckpoint truncating
+#              lineage — the same scale shape as reasoning/rules.rule_transitive
+#              (the reference evaluates paths via rdflib's per-node generators,
+#              /root/reference/ReSHACL/re_shacl.py transitive walks; here the
+#              whole relation closes at once, distributed)
+#   e* / e?    closure/step unioned with the zero-length identity over every
+#              term of the graph (SPARQL zero-length-path semantics)
+# Closure results are distinct by construction (visited-set ALP semantics);
+# sequence/alternation keep join/bag semantics — wrap the BGP in
+# ``distinct=True`` for set results.
+# ---------------------------------------------------------------------------
+
+_PATH_OPS = set("^|/+*?()")
+
+
+def _path_tokens(expr: str) -> list[str]:
+    toks: list[str] = []
+    i, n = 0, len(expr)
+    while i < n:
+        ch = expr[i]
+        if ch.isspace():
+            i += 1
+        elif ch == "<":
+            j = expr.find(">", i)
+            if j < 0:
+                raise ValueError(f"unterminated <IRI> in path: {expr!r}")
+            toks.append(expr[i + 1 : j])  # raw IRI token (may contain operators)
+            i = j + 1
+        elif ch in _PATH_OPS:
+            toks.append(ch)
+            i += 1
+        else:
+            j = i
+            while j < n and expr[j] not in _PATH_OPS and not expr[j].isspace():
+                j += 1
+            toks.append(expr[i:j])
+            i = j
+    if not toks:
+        raise ValueError("empty property path")
+    return toks
+
+
+def parse_path(expr: str):
+    """Parse a path expression to an AST of nested tuples:
+    ('iri', x) | ('inv', e) | ('seq', [e..]) | ('alt', [e..]) |
+    ('plus'|'star'|'opt', e)."""
+    toks = _path_tokens(expr)
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def take():
+        nonlocal pos
+        if pos >= len(toks):
+            raise ValueError(f"unexpected end of path: {expr!r}")
+        t = toks[pos]
+        pos += 1
+        return t
+
+    def atom():
+        t = take()
+        if t == "(":
+            e = alt()
+            if take() != ")":
+                raise ValueError(f"expected ')' in path: {expr!r}")
+        elif t in _PATH_OPS:
+            raise ValueError(f"unexpected {t!r} in path: {expr!r}")
+        else:
+            e = ("iri", t)
+        return e
+
+    def step():
+        if peek() == "^":
+            take()
+            return ("inv", step())
+        e = atom()
+        while peek() in ("+", "*", "?"):
+            e = ({"+": "plus", "*": "star", "?": "opt"}[take()], e)
+        return e
+
+    def seq():
+        es = [step()]
+        while peek() == "/":
+            take()
+            es.append(step())
+        return es[0] if len(es) == 1 else ("seq", es)
+
+    def alt():
+        es = [seq()]
+        while peek() == "|":
+            take()
+            es.append(seq())
+        return es[0] if len(es) == 1 else ("alt", es)
+
+    e = alt()
+    if pos != len(toks):
+        raise ValueError(f"trailing tokens {toks[pos:]} in path: {expr!r}")
+    return e
+
+
+def _path_closure(edges: DataFrame) -> DataFrame:
+    """Transitive closure of an (a, b) relation by iterative doubling —
+    O(log path-length) rounds, each one self-join + novelty anti-join, lineage
+    truncated per round.  Distinct pairs out (cycle-safe)."""
+    from re_shacl_spark.session import ensure_fixpoint_confs
+
+    ensure_fixpoint_confs(edges.sparkSession)
+    closure = edges.select("a", "b").distinct().localCheckpoint(eager=True)
+    for _ in range(32):
+        nxt = (
+            closure.alias("x")
+            .join(closure.alias("y"), F.col("x.b") == F.col("y.a"))
+            .select(F.col("x.a").alias("a"), F.col("y.b").alias("b"))
+        )
+        new = nxt.join(closure, ["a", "b"], "left_anti").distinct()
+        new = new.localCheckpoint(eager=True)
+        if new.isEmpty():
+            break
+        closure = closure.union(new).localCheckpoint(eager=True)
+    return closure
+
+
+def _graph_terms(triples: DataFrame) -> DataFrame:
+    """Every RDF term of the graph paired with itself — the zero-length path."""
+    nodes = (
+        triples.select(F.col("s").alias("a"))
+        .union(triples.select(F.col("o").alias("a")))
+        .distinct()
+    )
+    return nodes.select("a", F.col("a").alias("b"))
+
+
+def eval_path(triples: DataFrame, expr) -> DataFrame:
+    """Evaluate a property-path expression over the triple relation; returns
+    the endpoint pairs as columns (a, b)."""
+    ast = parse_path(expr) if isinstance(expr, str) else expr
+
+    def ev(e) -> DataFrame:
+        kind = e[0]
+        if kind == "iri":
+            return triples.filter(F.col("p") == e[1]).select(
+                F.col("s").alias("a"), F.col("o").alias("b")
+            )
+        if kind == "inv":
+            return ev(e[1]).select(F.col("b").alias("a"), F.col("a").alias("b"))
+        if kind == "seq":
+            out = ev(e[1][0])
+            for sub in e[1][1:]:
+                nxt = ev(sub)
+                out = (
+                    out.alias("l")
+                    .join(nxt.alias("r"), F.col("l.b") == F.col("r.a"))
+                    .select(F.col("l.a").alias("a"), F.col("r.b").alias("b"))
+                )
+            return out
+        if kind == "alt":
+            out = ev(e[1][0])
+            for sub in e[1][1:]:
+                out = out.union(ev(sub))
+            return out
+        if kind == "plus":
+            return _path_closure(ev(e[1]))
+        if kind == "star":
+            return _path_closure(ev(e[1])).union(_graph_terms(triples)).distinct()
+        if kind == "opt":
+            return ev(e[1]).union(_graph_terms(triples)).distinct()
+        raise ValueError(f"unknown path node {e!r}")
+
+    return ev(ast)

@@ -64,3 +64,75 @@ def test_bgp_disconnected_raises(spark):
             [("?x", EX + "likes", "?x"), ("?p", vocab.TYPE, "?t")],
             allow_cross=True).count()
     assert n == 2
+
+
+# -- property paths ----------------------------------------------------------
+
+def _chain(spark):
+    # a -n-> b -n-> c -n-> d, plus a type edge and a parallel relation
+    rows = [
+        iri_triple(EX + "a", EX + "n", EX + "b"),
+        iri_triple(EX + "b", EX + "n", EX + "c"),
+        iri_triple(EX + "c", EX + "n", EX + "d"),
+        iri_triple(EX + "a", EX + "m", EX + "d"),
+        iri_triple(EX + "a", vocab.TYPE, EX + "T"),
+    ]
+    return triples_df(spark, rows)
+
+
+def test_path_parse():
+    from re_shacl_spark.query import parse_path
+
+    assert parse_path("kg:a") == ("iri", "kg:a")
+    assert parse_path("^kg:a") == ("inv", ("iri", "kg:a"))
+    assert parse_path("kg:a/kg:b+") == (
+        "seq", [("iri", "kg:a"), ("plus", ("iri", "kg:b"))])
+    assert parse_path("(kg:a|kg:b)*") == (
+        "star", ("alt", [("iri", "kg:a"), ("iri", "kg:b")]))
+    assert parse_path("<http://x.org/p>/kg:b") == (
+        "seq", [("iri", "http://x.org/p"), ("iri", "kg:b")])
+    for bad in ("", "kg:a/", "(kg:a", "kg:a)b", "|kg:a"):
+        with pytest.raises(ValueError):
+            parse_path(bad)
+
+
+def test_path_eval_ops(spark):
+    from re_shacl_spark.query import eval_path
+
+    g = _chain(spark)
+    pairs = lambda e: {tuple(r) for r in eval_path(g, e).collect()}  # noqa: E731
+    n = EX + "n"
+    assert pairs(f"<{n}>") == {(EX + "a", EX + "b"), (EX + "b", EX + "c"),
+                               (EX + "c", EX + "d")}
+    assert pairs(f"^<{n}>") == {(EX + "b", EX + "a"), (EX + "c", EX + "b"),
+                                (EX + "d", EX + "c")}
+    assert pairs(f"<{n}>/<{n}>") == {(EX + "a", EX + "c"), (EX + "b", EX + "d")}
+    assert pairs(f"<{n}>+") == {
+        (EX + "a", EX + "b"), (EX + "b", EX + "c"), (EX + "c", EX + "d"),
+        (EX + "a", EX + "c"), (EX + "b", EX + "d"), (EX + "a", EX + "d")}
+    # alternation: n-edges plus the m shortcut
+    assert (EX + "a", EX + "d") in pairs(f"<{n}>|<{EX}m>")
+    # e? and e*: include the zero-length identity over every term
+    idty = {(x, x) for x in (EX + "a", EX + "b", EX + "c", EX + "d", EX + "T")}
+    assert pairs(f"<{EX}m>?") == idty | {(EX + "a", EX + "d")}
+    assert pairs(f"<{n}>*") == idty | pairs(f"<{n}>+")
+
+
+def test_path_in_bgp(spark):
+    from re_shacl_spark.query import Path
+
+    g = _chain(spark)
+    # typed nodes reachable in 1+ n-steps from ?x, constant endpoint
+    got = {tuple(r) for r in bgp(
+        g,
+        [("?x", vocab.TYPE, EX + "T"), ("?x", Path(f"<{EX}n>+"), "?y")],
+        select=["x", "y"], distinct=True,
+    ).collect()}
+    assert got == {(EX + "a", EX + "b"), (EX + "a", EX + "c"), (EX + "a", EX + "d")}
+    # constant object on a path pattern + repeated variable self-pairs
+    got2 = {tuple(r) for r in bgp(
+        g, [("?x", Path(f"<{EX}n>/<{EX}n>"), EX + "d")]).collect()}
+    assert got2 == {(EX + "b",)}
+    got3 = {tuple(r) for r in bgp(
+        g, [("?x", Path(f"<{EX}n>*"), "?x")], distinct=True).collect()}
+    assert len(got3) == 5  # every term, zero-length only (the chain is acyclic)
