@@ -2530,6 +2530,36 @@ ORACLES["bgp_path_closure"] = SQL_BGP_PATH_CLOSURE
 ORACLES["bgp_path_inv_alt"] = SQL_BGP_PATH_INV_ALT
 
 
+def q_bgp_minus_filter(spark, sf_dir):
+    """SPARQL MINUS + FILTER: customers in nations n:20–n:24 (FILTER — a
+    Column predicate Catalyst pushes below the joins) whose nation has NO
+    kg:next successor (MINUS on the shared ?n — a left-anti join).  Only the
+    chain's last nation n:24 qualifies."""
+    from re_shacl_spark.query import bgp
+
+    t = rel_triples(spark, sf_dir)
+    return bgp(
+        t,
+        [("?c", TYPE, "kg:Customer"), ("?c", "kg:inNation", "?n")],
+        where=F.col("n").isin(*[f"n:{i}" for i in range(20, 25)]),
+        minus=[("?n", "kg:next", "?m")],
+        select=["c", "n"],
+        distinct=True,
+    )
+
+
+SQL_BGP_MINUS_FILTER = f"""WITH {REL_TRIPLES_CTE.strip()}
+SELECT DISTINCT a.s AS c, a.o AS n
+FROM base a
+WHERE a.p = 'kg:inNation' AND a.s LIKE 'c:%'
+  AND a.o IN ('n:20','n:21','n:22','n:23','n:24')
+  AND a.o NOT IN (SELECT s FROM base WHERE p = 'kg:next')"""
+
+
+QUERIES["bgp_minus_filter"] = q_bgp_minus_filter
+ORACLES["bgp_minus_filter"] = SQL_BGP_MINUS_FILTER
+
+
 
 # ---------------------------------------------------------------------------
 # incremental fusion (pipeline.fuse_delta): the crawl-increment entry point —
@@ -2670,6 +2700,7 @@ _EVIDENCE_PRIORITY = [
     "v_severity",
     "bgp_path_closure",
     "bgp_path_inv_alt",
+    "bgp_minus_filter",
     # round-2 queries absent from CORRECTNESS_r01/r02 (VERDICT r2, next #1)
     "v_shape30_report",
     "v_lubm_schema1",

@@ -120,13 +120,19 @@ def bgp(
     select: list[str] | None = None,
     distinct: bool = False,
     allow_cross: bool = False,
+    where: Column | None = None,
+    minus: list[Pattern] | None = None,
 ) -> DataFrame:
     """Match a conjunctive pattern list; returns one column per variable.
 
     ``optional`` patterns left-join after the required block (SPARQL
-    OPTIONAL); their unmatched variables are null.  ``select`` projects (and
-    orders) the output variables; ``distinct`` deduplicates bindings (SPARQL
-    SELECT DISTINCT).
+    OPTIONAL); their unmatched variables are null.  ``where`` is a SPARQL
+    FILTER — any pyspark Column predicate over the variable columns, applied
+    after the required block (Catalyst pushes it below the joins when legal).
+    ``minus`` removes bindings compatible with the given BGP on their shared
+    variables (SPARQL MINUS — a left-anti join; with no shared variable it
+    removes nothing, per spec).  ``select`` projects (and orders) the output
+    variables; ``distinct`` deduplicates bindings (SPARQL SELECT DISTINCT).
     """
     if not patterns:
         raise ValueError("empty BGP")
@@ -138,6 +144,13 @@ def bgp(
         else:
             shared = sorted(set(out.columns) & set(scan.columns))
             out = out.join(scan, shared) if shared else out.crossJoin(scan)
+    if where is not None:
+        out = out.filter(where)
+    if minus:
+        m = bgp(triples, minus, allow_cross=allow_cross)
+        shared = sorted(set(out.columns) & set(m.columns))
+        if shared:  # disjoint domains: MINUS is a no-op (SPARQL 1.1 §8.3)
+            out = out.join(m.select(*shared).distinct(), shared, "left_anti")
     for pat in optional or []:
         scan = _scan(triples, pat)
         shared = sorted(set(out.columns) & set(scan.columns))

@@ -136,3 +136,30 @@ def test_path_in_bgp(spark):
     got3 = {tuple(r) for r in bgp(
         g, [("?x", Path(f"<{EX}n>*"), "?x")], distinct=True).collect()}
     assert len(got3) == 5  # every term, zero-length only (the chain is acyclic)
+
+
+def test_bgp_filter_and_minus(spark):
+    from pyspark.sql import functions as F
+
+    g = _g(spark)
+    # FILTER: persons whose knows-target is exactly b
+    got = {tuple(r) for r in bgp(
+        g,
+        [("?x", vocab.TYPE, EX + "Person"), ("?x", EX + "knows", "?y")],
+        where=F.col("y") == EX + "b",
+    ).collect()}
+    assert got == {(EX + "a", EX + "b")}
+    # MINUS: persons minus those with a self-loop like (shared var x)
+    got2 = {tuple(r) for r in bgp(
+        g,
+        [("?x", vocab.TYPE, EX + "Person")],
+        minus=[("?x", EX + "likes", "?z")],
+    ).collect()}
+    assert got2 == {(EX + "b",)}
+    # MINUS with no shared variable removes nothing (SPARQL 1.1 §8.3)
+    got3 = bgp(
+        g,
+        [("?x", vocab.TYPE, EX + "Person")],
+        minus=[("?p", EX + "likes", "?q")],
+    ).count()
+    assert got3 == 2
