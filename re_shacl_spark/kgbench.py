@@ -2560,6 +2560,34 @@ QUERIES["bgp_minus_filter"] = q_bgp_minus_filter
 ORACLES["bgp_minus_filter"] = SQL_BGP_MINUS_FILTER
 
 
+def q_construct_region_member(spark, sf_dir):
+    """SPARQL CONSTRUCT: flatten the customer→nation→region chain into direct
+    kg:inRegion edges plus a kg:RegionMember typing — the match runs once, the
+    two template triples are column-projections of the same binding frame
+    (query.py::construct)."""
+    from re_shacl_spark.query import construct
+
+    t = rel_triples(spark, sf_dir)
+    return construct(
+        t,
+        [("?c", TYPE, "kg:Customer"), ("?c", "kg:inNation", "?n"),
+         ("?n", "kg:inRegion", "?r")],
+        [("?c", "kg:inRegion", "?r"), ("?c", TYPE, "kg:RegionMember")],
+    )
+
+
+SQL_CONSTRUCT_REGION = f"""WITH {REL_TRIPLES_CTE.strip()},
+m AS (SELECT a.s AS c, b.o AS r FROM base a
+      JOIN base b ON b.s = a.o AND b.p = 'kg:inRegion'
+      WHERE a.p = 'kg:inNation' AND a.s LIKE 'c:%')
+SELECT DISTINCT c AS s, 'kg:inRegion' AS p, r AS o FROM m
+UNION SELECT DISTINCT c, '{TYPE}', 'kg:RegionMember' FROM m"""
+
+
+QUERIES["construct_region_member"] = q_construct_region_member
+ORACLES["construct_region_member"] = SQL_CONSTRUCT_REGION
+
+
 
 # ---------------------------------------------------------------------------
 # incremental fusion (pipeline.fuse_delta): the crawl-increment entry point —
@@ -2701,6 +2729,7 @@ _EVIDENCE_PRIORITY = [
     "bgp_path_closure",
     "bgp_path_inv_alt",
     "bgp_minus_filter",
+    "construct_region_member",
     # round-2 queries absent from CORRECTNESS_r01/r02 (VERDICT r2, next #1)
     "v_shape30_report",
     "v_lubm_schema1",

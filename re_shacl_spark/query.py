@@ -343,3 +343,44 @@ def eval_path(triples: DataFrame, expr) -> DataFrame:
         raise ValueError(f"unknown path node {e!r}")
 
     return ev(ast)
+
+
+def construct(
+    triples: DataFrame,
+    patterns: list[Pattern],
+    template: list[Pattern],
+    where: Column | None = None,
+    minus: list[Pattern] | None = None,
+    allow_cross: bool = False,
+) -> DataFrame:
+    """SPARQL CONSTRUCT: match the BGP, instantiate the template triples from
+    each binding — the query form that BUILDS graphs (rdflib
+    ``Graph.query('CONSTRUCT …')``; the reference materializes derived triples
+    through exactly this shape of rule, re_shacl.py's add() loops).
+
+    Each template pattern (s, p, o) may use matched variables or constants;
+    the result is one distinct (s, p, o) relation — the union of one
+    projection per template pattern over the binding frame, so the match runs
+    ONCE and fans out column-select-only (no extra joins or shuffles beyond
+    the final distinct)."""
+    bound = bgp(triples, patterns, where=where, minus=minus, allow_cross=allow_cross)
+    if not template:
+        raise ValueError("empty CONSTRUCT template")
+    parts: list[DataFrame] = []
+    for s, p, o in template:
+        if isinstance(p, Path):
+            raise ValueError("CONSTRUCT template predicates must be constants or variables")
+        cols = []
+        for term, name in ((s, "s"), (p, "p"), (o, "o")):
+            if _is_var(term):
+                v = term[1:]
+                if v not in bound.columns:
+                    raise ValueError(f"template variable ?{v} not bound by the pattern")
+                cols.append(F.col(v).alias(name))
+            else:
+                cols.append(F.lit(term).alias(name))
+        parts.append(bound.select(*cols))
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out.distinct()

@@ -163,3 +163,21 @@ def test_bgp_filter_and_minus(spark):
         minus=[("?p", EX + "likes", "?q")],
     ).count()
     assert got3 == 2
+
+
+def test_construct(spark):
+    from re_shacl_spark.query import construct
+
+    g = _g(spark)
+    out = {tuple(r) for r in construct(
+        g,
+        [("?x", EX + "knows", "?y")],
+        [("?y", EX + "knownBy", "?x"), ("?x", vocab.TYPE, EX + "Knower")],
+    ).collect()}
+    assert (EX + "b", EX + "knownBy", EX + "a") in out
+    assert (EX + "a", vocab.TYPE, EX + "Knower") in out
+    assert (EX + "c", vocab.TYPE, EX + "Knower") in out
+    assert len(out) == 6  # 3 knownBy + 3 Knower types, distinct
+    # unbound template variable raises
+    with pytest.raises(ValueError, match="not bound"):
+        construct(g, [("?x", EX + "knows", "?y")], [("?z", EX + "p", "?x")])
