@@ -2588,6 +2588,47 @@ QUERIES["construct_region_member"] = q_construct_region_member
 ORACLES["construct_region_member"] = SQL_CONSTRUCT_REGION
 
 
+def q_v_complex_path(spark, sf_dir):
+    """SHACL complex sh:path over the rel KG (validate/engine.py
+    _path_value_triples): a sequence path kg:inNation/kg:inRegion with sh:in
+    (customers whose region is not whitelisted violate), and a one-or-more
+    closure kg:next+ with sh:minCount 3 (the last three chain nations violate).
+    Each distinct path expression materializes once as virtual-predicate
+    pairs; the ordinary broadcast values join serves both shapes."""
+    from re_shacl_spark.query import Path as PathExpr
+
+    t = rel_triples(spark, sf_dir)
+    shapes = [
+        NodeShape("sh:RegionPath", target_classes=["kg:Customer"], properties=[
+            PropertyConstraint(path=PathExpr("<kg:inNation>/<kg:inRegion>"),
+                               in_values=["r:0", "r:1", "r:2"]),
+        ]),
+        NodeShape("sh:ChainDepth", target_subjects_of=["kg:inRegion"], properties=[
+            PropertyConstraint(path=PathExpr("<kg:next>+"), min_count=3),
+        ]),
+    ]
+    return validate(spark, t, shapes).violations
+
+
+SQL_V_COMPLEX_PATH = f"""WITH RECURSIVE {REL_TRIPLES_CTE.strip()},
+nxt(s,o) AS (SELECT s, o FROM base WHERE p = 'kg:next'),
+clo(s,o) AS (SELECT s, o FROM nxt UNION SELECT c.s, n.o FROM clo c JOIN nxt n ON c.o = n.s),
+nations AS (SELECT DISTINCT s FROM base WHERE p = 'kg:inRegion'),
+cnts AS (SELECT nations.s, count(DISTINCT clo.o) n FROM nations
+         LEFT JOIN clo ON clo.s = nations.s GROUP BY nations.s)
+SELECT s AS focus, 'sh:ChainDepth' AS shape, '<kg:next>+' AS path,
+       'minCount' AS "constraint", n::varchar AS value
+FROM cnts WHERE n < 3
+UNION ALL
+SELECT DISTINCT a.s, 'sh:RegionPath', '<kg:inNation>/<kg:inRegion>', 'value', b.o
+FROM base a JOIN base b ON b.s = a.o AND b.p = 'kg:inRegion'
+WHERE a.p = 'kg:inNation' AND a.s LIKE 'c:%' AND b.o NOT IN ('r:0','r:1','r:2')"""
+
+
+QUERIES["v_complex_path"] = q_v_complex_path
+ORACLES["v_complex_path"] = SQL_V_COMPLEX_PATH
+
+
 
 # ---------------------------------------------------------------------------
 # incremental fusion (pipeline.fuse_delta): the crawl-increment entry point —
@@ -2730,6 +2771,7 @@ _EVIDENCE_PRIORITY = [
     "bgp_path_inv_alt",
     "bgp_minus_filter",
     "construct_region_member",
+    "v_complex_path",
     # round-2 queries absent from CORRECTNESS_r01/r02 (VERDICT r2, next #1)
     "v_shape30_report",
     "v_lubm_schema1",

@@ -274,21 +274,30 @@ def parse_path(expr: str):
     return e
 
 
+_META = ["a", "b", "a_lit", "a_is", "b_lit", "b_is"]
+
+
 def _path_closure(edges: DataFrame) -> DataFrame:
-    """Transitive closure of an (a, b) relation by iterative doubling —
+    """Transitive closure of an endpoint relation by iterative doubling —
     O(log path-length) rounds, each one self-join + novelty anti-join, lineage
-    truncated per round.  Distinct pairs out (cycle-safe)."""
+    truncated per round.  Distinct pairs out (cycle-safe).  Endpoint metadata
+    (the `_META` literal columns) rides along: a composed pair keeps the left
+    hop's start metadata and the right hop's end metadata."""
     from re_shacl_spark.session import ensure_fixpoint_confs
 
     ensure_fixpoint_confs(edges.sparkSession)
-    closure = edges.select("a", "b").distinct().localCheckpoint(eager=True)
+    closure = edges.select(*_META).distinct().localCheckpoint(eager=True)
     for _ in range(32):
         nxt = (
             closure.alias("x")
             .join(closure.alias("y"), F.col("x.b") == F.col("y.a"))
-            .select(F.col("x.a").alias("a"), F.col("y.b").alias("b"))
+            .select(
+                F.col("x.a").alias("a"), F.col("y.b").alias("b"),
+                F.col("x.a_lit").alias("a_lit"), F.col("x.a_is").alias("a_is"),
+                F.col("y.b_lit").alias("b_lit"), F.col("y.b_is").alias("b_is"),
+            )
         )
-        new = nxt.join(closure, ["a", "b"], "left_anti").distinct()
+        new = nxt.join(closure.select("a", "b"), ["a", "b"], "left_anti").distinct()
         new = new.localCheckpoint(eager=True)
         if new.isEmpty():
             break
@@ -297,28 +306,49 @@ def _path_closure(edges: DataFrame) -> DataFrame:
 
 
 def _graph_terms(triples: DataFrame) -> DataFrame:
-    """Every RDF term of the graph paired with itself — the zero-length path."""
-    nodes = (
-        triples.select(F.col("s").alias("a"))
-        .union(triples.select(F.col("o").alias("a")))
-        .distinct()
+    """Every RDF term of the graph paired with itself — the zero-length path.
+    Object terms keep their literal metadata on both endpoints; subjects are
+    always resource nodes."""
+    lit_t = triples.schema["o_lit"].dataType
+    null_lit = F.lit(None).cast(lit_t)
+    subs = triples.select(
+        F.col("s").alias("a"), F.col("s").alias("b"),
+        null_lit.alias("a_lit"), F.lit(False).alias("a_is"),
+        null_lit.alias("b_lit"), F.lit(False).alias("b_is"),
     )
-    return nodes.select("a", F.col("a").alias("b"))
+    objs = triples.select(
+        F.col("o").alias("a"), F.col("o").alias("b"),
+        F.col("o_lit").alias("a_lit"), F.col("is_lit").alias("a_is"),
+        F.col("o_lit").alias("b_lit"), F.col("is_lit").alias("b_is"),
+    )
+    return subs.union(objs).distinct()
 
 
-def eval_path(triples: DataFrame, expr) -> DataFrame:
+def eval_path(triples: DataFrame, expr, keep_meta: bool = False) -> DataFrame:
     """Evaluate a property-path expression over the triple relation; returns
-    the endpoint pairs as columns (a, b)."""
+    the endpoint pairs as columns (a, b) — plus the terminal value's literal
+    metadata (b_lit struct, b_is flag) when ``keep_meta`` is set (the SHACL
+    engine needs those to run datatype/language facets on path values).
+    Endpoints join on their string form; a literal whose lexical form equals
+    an IRI is a non-issue in practice but is not disambiguated mid-path."""
     ast = parse_path(expr) if isinstance(expr, str) else expr
+    lit_t = triples.schema["o_lit"].dataType
+    null_lit = F.lit(None).cast(lit_t)
 
     def ev(e) -> DataFrame:
         kind = e[0]
         if kind == "iri":
             return triples.filter(F.col("p") == e[1]).select(
-                F.col("s").alias("a"), F.col("o").alias("b")
+                F.col("s").alias("a"), F.col("o").alias("b"),
+                null_lit.alias("a_lit"), F.lit(False).alias("a_is"),
+                F.col("o_lit").alias("b_lit"), F.col("is_lit").alias("b_is"),
             )
         if kind == "inv":
-            return ev(e[1]).select(F.col("b").alias("a"), F.col("a").alias("b"))
+            return ev(e[1]).select(
+                F.col("b").alias("a"), F.col("a").alias("b"),
+                F.col("b_lit").alias("a_lit"), F.col("b_is").alias("a_is"),
+                F.col("a_lit").alias("b_lit"), F.col("a_is").alias("b_is"),
+            )
         if kind == "seq":
             out = ev(e[1][0])
             for sub in e[1][1:]:
@@ -326,7 +356,11 @@ def eval_path(triples: DataFrame, expr) -> DataFrame:
                 out = (
                     out.alias("l")
                     .join(nxt.alias("r"), F.col("l.b") == F.col("r.a"))
-                    .select(F.col("l.a").alias("a"), F.col("r.b").alias("b"))
+                    .select(
+                        F.col("l.a").alias("a"), F.col("r.b").alias("b"),
+                        F.col("l.a_lit").alias("a_lit"), F.col("l.a_is").alias("a_is"),
+                        F.col("r.b_lit").alias("b_lit"), F.col("r.b_is").alias("b_is"),
+                    )
                 )
             return out
         if kind == "alt":
@@ -342,7 +376,10 @@ def eval_path(triples: DataFrame, expr) -> DataFrame:
             return ev(e[1]).union(_graph_terms(triples)).distinct()
         raise ValueError(f"unknown path node {e!r}")
 
-    return ev(ast)
+    out = ev(ast)
+    if keep_meta:
+        return out.select("a", "b", "b_lit", "b_is")
+    return out.select("a", "b")
 
 
 def construct(

@@ -32,8 +32,18 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from re_shacl_spark.model.triples import vocab
+from re_shacl_spark.query import Path as PathExpr
+from re_shacl_spark.query import eval_path
 from re_shacl_spark.reasoning.tbox import TBoxIndex
 from re_shacl_spark.validate.shapes import NodeShape, PropertyConstraint
+
+
+def _path_str(path) -> str | None:
+    """Grid/report form of an sh:path: complex paths (sequence, alternative,
+    closure — compiled to query.Path expressions by shapes._path_expr) are
+    keyed by their expression string, which doubles as the virtual predicate
+    under which their value pairs are injected for the values join."""
+    return path.expr if isinstance(path, PathExpr) else path
 
 SH = vocab.SH
 
@@ -114,7 +124,7 @@ def _pc_rows(shapes: list[NodeShape]) -> list[tuple]:
             msg = pc.message or ns.message
             rows.append(
                 (
-                    pc_id, ns.shape_id, pc.path, pc.inverse, pc.min_count, pc.max_count,
+                    pc_id, ns.shape_id, _path_str(pc.path), pc.inverse, pc.min_count, pc.max_count,
                     pc.clazz, pc.datatype, pc.node_kind, pc.node_ref,
                     pc.in_values, pc.has_value, pc.pattern, pc.min_length,
                     pc.max_length, pc.min_inclusive, pc.max_inclusive,
@@ -127,7 +137,7 @@ def _pc_rows(shapes: list[NodeShape]) -> list[tuple]:
                 for bi, b in enumerate(branches):
                     rows.append(
                         (
-                            pc_id, ns.shape_id, pc.path, pc.inverse, None, None,
+                            pc_id, ns.shape_id, _path_str(pc.path), pc.inverse, None, None,
                             b.clazz, b.datatype, b.node_kind, b.node_ref,
                             b.in_values, b.has_value, b.pattern, b.min_length,
                             b.max_length, b.min_inclusive, b.max_inclusive,
@@ -298,12 +308,19 @@ def validate(
     # focus × constraint grid for this shape's targets
     tp = targets.join(base_pcs.select("pc_id", "shape_id"), "shape_id")
 
+    # complex sh:path constraints: materialize each distinct path expression
+    # ONCE as (focus, value) pairs under a virtual predicate named by the
+    # expression — the ordinary broadcast values join below then serves plain
+    # and complex paths identically.  Only the values join sees these rows:
+    # targets / class flags / closed checks keep the real graph.
+    val_triples = _path_value_triples(triples, shapes)
+
     # values at each constrained path: broadcast join puts path filter into the scan
     paths = base_pcs.select(
         F.col("pc_id").alias("v_pc_id"), F.col("path").alias("p"), "inverse"
     ).filter(F.col("p").isNotNull())
     vals = (
-        triples.join(paths.filter(~F.col("inverse")).drop("inverse"), "p")
+        val_triples.join(paths.filter(~F.col("inverse")).drop("inverse"), "p")
         .select(
             F.col("v_pc_id").alias("pc_id"),
             F.col("s").alias("focus"),
@@ -316,7 +333,7 @@ def validate(
         # sh:inversePath: the focus is the OBJECT of the edge; values are the
         # subjects (always resource nodes — s can't be a literal)
         inv_vals = (
-            triples.join(paths.filter(F.col("inverse")).drop("inverse"), "p")
+            val_triples.join(paths.filter(F.col("inverse")).drop("inverse"), "p")
             .select(
                 F.col("v_pc_id").alias("pc_id"),
                 F.col("o").alias("focus"),
@@ -364,7 +381,9 @@ def validate(
         # sweeps on Shape_30 for nothing).  Cycles fall back to a fixpoint
         # bound — each sweep can only shrink the conforming sets.
         depth = max_ref_depth if max_ref_depth is not None else _ref_dag_depth(shapes)
-        g = _resolve_node_refs(spark, triples, shapes, tbox, g, ref_shapes, depth)
+        g = _resolve_node_refs(
+            spark, triples, shapes, tbox, g, ref_shapes, depth, val_triples=val_triples
+        )
     else:
         g = g.withColumn("_ref_ok", F.lit(True))
 
@@ -475,7 +494,7 @@ def validate(
         .unionByName(v_not).unionByName(v_vals)
     )
     for extra in (
-        _pair_violations(spark, triples, targets, shapes, with_details),
+        _pair_violations(spark, val_triples, targets, shapes, with_details),
         _closed_violations(spark, triples, targets, shapes, with_details),
     ):
         if extra is not None:
@@ -524,7 +543,7 @@ def _pair_violations(
             ):
                 if other is not None:
                     rows.append((
-                        len(rows), ns.shape_id, pc.path, other, kind, pc.inverse,
+                        len(rows), ns.shape_id, _path_str(pc.path), other, kind, pc.inverse,
                         pc.severity or ns.severity, pc.message or ns.message,
                     ))
     if not rows:
@@ -630,7 +649,10 @@ def _closed_violations(
         closed_ids.append(ns.shape_id)
         # only DIRECT path IRIs open a predicate (an inverse-path property
         # shape does not declare the forward predicate — SHACL closed rules)
-        ps = {pc.path for pc in ns.properties if pc.path and not pc.inverse}
+        # complex (query.Path) paths never whitelist a predicate either: sh:closed
+        # only honors direct path IRIs
+        ps = {pc.path for pc in ns.properties
+              if isinstance(pc.path, str) and not pc.inverse}
         ps.update(ns.ignored_properties)
         ps.add(vocab.TYPE)
         allowed_rows += [(ns.shape_id, p) for p in sorted(ps)]
@@ -659,6 +681,40 @@ def _closed_violations(
         F.lit("closed").alias("constraint"), F.col("o").cast("string").alias("value"),
         *detail_cols,
     )
+
+
+def _path_value_triples(triples: DataFrame, shapes: list[NodeShape]) -> DataFrame:
+    """The triple relation extended with virtual-predicate rows for every
+    complex sh:path used by the shapes: eval_path materializes (focus, value)
+    endpoint pairs (with terminal literal metadata, so datatype/lang facets
+    still apply) and each pair becomes a triple whose predicate is the path
+    expression string.  No complex paths → the input frame, untouched.  Each
+    distinct expression evaluates once regardless of how many constraints use
+    it; a `+`/`*` closure inside costs its doubling rounds exactly once."""
+    exprs = sorted(
+        {
+            pc.path.expr
+            for ns in shapes
+            for pc in _all_pcs(ns)
+            if isinstance(pc.path, PathExpr)
+        }
+    )
+    if not exprs:
+        return triples
+    extra = [c for c in triples.columns if c not in ("s", "p", "o", "o_lit", "is_lit")]
+    parts = []
+    for expr in exprs:
+        pairs = eval_path(triples, expr, keep_meta=True)
+        sel = [
+            F.col("a").alias("s"), F.lit(expr).alias("p"), F.col("b").alias("o"),
+            F.col("b_lit").alias("o_lit"),
+            F.coalesce(F.col("b_is"), F.lit(False)).alias("is_lit"),
+        ] + [F.lit(None).cast(triples.schema[c].dataType).alias(c) for c in extra]
+        parts.append(pairs.select(*sel))
+    virt = parts[0]
+    for p_ in parts[1:]:
+        virt = virt.unionByName(p_)
+    return triples.unionByName(virt.select(*triples.columns))
 
 
 def _all_pcs(ns: NodeShape) -> list[PropertyConstraint]:
@@ -734,7 +790,7 @@ def _ref_value_sets(
                     if pc.path is None:
                         self_refs.setdefault(x.node_ref, []).append(s)
                     else:
-                        pairs.add((pc.path, x.node_ref, pc.inverse))
+                        pairs.add((_path_str(pc.path), x.node_ref, pc.inverse))
     out: dict[str, DataFrame] = {}
     if pairs:
         pm = F.broadcast(
@@ -766,6 +822,7 @@ def _resolve_node_refs(
     g: DataFrame,
     ref_shapes: list[str],
     depth: int,
+    val_triples: DataFrame | None = None,
 ) -> DataFrame:
     """Compute conforming-node sets for referenced shapes by iterated
     refinement: sweep k validates each referenced shape with ITS refs resolved
@@ -778,7 +835,11 @@ def _resolve_node_refs(
     reported violations remain target-scoped."""
     by_id = {s.shape_id: s for s in shapes}
     resolvable = [sid for sid in ref_shapes if sid in by_id]
-    ref_vals = _ref_value_sets(spark, triples, shapes, tbox, by_id)
+    # values-at-referencing-paths must see the virtual path-expression rows so
+    # a sh:node behind a complex path still widens the evaluated set
+    ref_vals = _ref_value_sets(
+        spark, val_triples if val_triples is not None else triples, shapes, tbox, by_id
+    )
 
     def refs_of(sid: str) -> list[str]:
         out = []

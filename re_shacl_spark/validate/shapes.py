@@ -28,7 +28,12 @@ SH = vocab.SH
 class PropertyConstraint:
     """One sh:property block (or one sh:or branch)."""
 
-    path: str | None = None
+    # plain predicate IRI, or a query.Path for complex sh:path (sequence /
+    # alternative / closure — compiled by _path_expr, evaluated by the engine
+    # as virtual-predicate triples).  Complex paths are NOT rep-rewritten by
+    # rewrite_shapes (canonicalize your path predicates before compiling, or
+    # keep them in the TBox namespace the merge never touches).
+    path: "str | object | None" = None
     # sh:path [ sh:inversePath <p> ] — values are the SUBJECTS of p-edges
     # pointing AT the focus node (path holds p; traversal direction flips)
     inverse: bool = False
@@ -123,6 +128,35 @@ def _collect_list(pox: dict, head: str) -> list[str]:
     return out
 
 
+def _path_expr(node: str, pox: dict) -> str | None:
+    """Compile a complex sh:path node (SHACL §2.3.1) into a query.Path
+    expression string, or None for a plain predicate IRI.  Handles
+    sh:inversePath, sh:alternativePath, sh:zeroOrMorePath, sh:oneOrMorePath,
+    sh:zeroOrOnePath and rdf:list sequence paths, arbitrarily nested.  IRIs
+    are angle-bracketed so path-operator characters inside them stay inert."""
+    po = pox.get(node, {})
+
+    def sub(n: str) -> str:
+        e = _path_expr(n, pox)
+        return f"({e})" if e is not None else f"<{n}>"
+
+    if SH + "inversePath" in po:
+        return "^" + sub(po[SH + "inversePath"][0])
+    if SH + "alternativePath" in po:
+        items = _collect_list(pox, po[SH + "alternativePath"][0])
+        return "|".join(sub(i) for i in items)
+    if SH + "zeroOrMorePath" in po:
+        return sub(po[SH + "zeroOrMorePath"][0]) + "*"
+    if SH + "oneOrMorePath" in po:
+        return sub(po[SH + "oneOrMorePath"][0]) + "+"
+    if SH + "zeroOrOnePath" in po:
+        return sub(po[SH + "zeroOrOnePath"][0]) + "?"
+    if vocab.FIRST in po:
+        items = _collect_list(pox, node)
+        return "/".join(sub(i) for i in items)
+    return None
+
+
 def _compile_property(node: str, pox: dict) -> PropertyConstraint:
     po = pox.get(node, {})
 
@@ -138,8 +172,16 @@ def _compile_property(node: str, pox: dict) -> PropertyConstraint:
     inverse = False
     if raw_path is not None:
         inv = pox.get(raw_path, {}).get(SH + "inversePath")
-        if inv:
+        if inv and _path_expr(inv[0], pox) is None:
+            # single inverse of a plain predicate: the engine's native
+            # inverse-join fast path (no virtual-triple materialization)
             raw_path, inverse = inv[0], True
+        else:
+            expr = _path_expr(raw_path, pox)
+            if expr is not None:  # complex path → query.Path expression
+                from re_shacl_spark.query import Path as PathExpr
+
+                raw_path = PathExpr(expr)
     pc = PropertyConstraint(
         path=raw_path,
         inverse=inverse,

@@ -385,3 +385,72 @@ def test_severity_and_message_details(spark):
     got4 = {(r.constraint, r.severity, r.message) for r in rep4.violations.collect()}
     assert ("closed", vocab.SH + "Warning", None) in got4
     assert ("disjoint", vocab.SH + "Warning", "self-overlap") in got4
+
+
+def test_shacl_complex_paths(spark):
+    from re_shacl_spark.query import Path as PathExpr
+
+    rows = [
+        iri_triple(EX + "p1", vocab.TYPE, EX + "Person"),
+        iri_triple(EX + "p2", vocab.TYPE, EX + "Person"),
+        iri_triple(EX + "p1", EX + "knows", EX + "p2"),
+        iri_triple(EX + "p2", EX + "knows", EX + "p3"),
+        lit_triple(EX + "p2", EX + "name", "Bob"),
+        lit_triple(EX + "p3", EX + "name", "42", XSD_INT),
+    ]
+    g = triples_df(spark, rows)
+    # sequence path knows/name with sh:datatype xsd:string:
+    # p1 -> p2 -> "Bob" (ok); p2 -> p3 -> 42^^int (violation)
+    shapes = [NodeShape("S", target_classes=[EX + "Person"], properties=[
+        PropertyConstraint(path=PathExpr(f"<{EX}knows>/<{EX}name>"),
+                           datatype=XSD_STR),
+    ])]
+    got, _ = _viol(spark, g, shapes)
+    assert got == {(EX + "p2", "value", "42")}
+    # one-or-more closure with minCount: p1 reaches p2,p3 (2 ok); p2 reaches p3 (1 bad)
+    shapes2 = [NodeShape("S", target_classes=[EX + "Person"], properties=[
+        PropertyConstraint(path=PathExpr(f"<{EX}knows>+"), min_count=2),
+    ])]
+    got2, _ = _viol(spark, g, shapes2)
+    assert got2 == {(EX + "p2", "minCount", "1")}
+    # report path column carries the expression string
+    rep = validate(spark, g, shapes2)
+    assert {r.path for r in rep.violations.collect()} == {f"<{EX}knows>+"}
+
+
+def test_shacl_path_compile_from_ttl(spark):
+    from re_shacl_spark.model.ttl import parse_ttl
+    from re_shacl_spark.query import Path as PathExpr
+    from re_shacl_spark.validate.shapes import compile_shapes
+
+    ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <http://x.org/> .
+    ex:S a sh:NodeShape ;
+      sh:targetClass ex:Person ;
+      sh:property [ sh:path ( ex:knows ex:name ) ; sh:minCount 1 ] ;
+      sh:property [ sh:path [ sh:oneOrMorePath ex:knows ] ; sh:maxCount 5 ] ;
+      sh:property [ sh:path [ sh:alternativePath ( ex:knows ex:likes ) ] ] ;
+      sh:property [ sh:path [ sh:inversePath ex:knows ] ; sh:minCount 0 ] ;
+      sh:property [ sh:path [ sh:inversePath [ sh:zeroOrOnePath ex:knows ] ] ] .
+    """
+    shapes = compile_shapes(parse_ttl(ttl))
+    assert len(shapes) == 1
+    paths = {str(pc.path) if not isinstance(pc.path, PathExpr) else pc.path.expr
+             for pc in shapes[0].properties}
+    inv = [pc for pc in shapes[0].properties if pc.inverse]
+    assert f"<{EX}knows>/<{EX}name>" in paths
+    assert f"<{EX}knows>+" in paths
+    assert f"<{EX}knows>|<{EX}likes>" in paths
+    # plain single inverse keeps the native fast path (str + inverse flag)
+    assert len(inv) == 1 and inv[0].path == EX + "knows"
+    # nested inverse-of-zeroOrOne compiles to a Path expression
+    assert f"^(<{EX}knows>?)" in paths
+    # and the compiled shapes actually validate
+    g = triples_df(spark, [
+        iri_triple(EX + "p1", vocab.TYPE, EX + "Person"),
+        iri_triple(EX + "p1", EX + "knows", EX + "p2"),
+        lit_triple(EX + "p2", EX + "name", "Bob"),
+    ])
+    rep = validate(spark, g, shapes)
+    assert rep.conforms
