@@ -2629,6 +2629,34 @@ QUERIES["v_complex_path"] = q_v_complex_path
 ORACLES["v_complex_path"] = SQL_V_COMPLEX_PATH
 
 
+def q_bgp_path_nps(spark, sf_dir):
+    """Negated property set (SPARQL §9.1): every edge leaving a nation that is
+    NOT kg:inRegion / kg:adjacentTo — i.e. the kg:next chain plus nothing else.
+    One predicate-complement scan, joined to the nation set on the focus."""
+    from re_shacl_spark.query import Path, bgp
+
+    t = rel_triples(spark, sf_dir)
+    return bgp(
+        t,
+        [
+            ("?n", "kg:inRegion", "?r"),
+            ("?n", Path("!(kg:inRegion|kg:adjacentTo)"), "?x"),
+        ],
+        select=["n", "x"],
+        distinct=True,
+    )
+
+
+SQL_BGP_PATH_NPS = f"""WITH {REL_TRIPLES_CTE.strip()}
+SELECT DISTINCT a.s AS n, b.o AS x
+FROM base a JOIN base b ON b.s = a.s AND b.p NOT IN ('kg:inRegion','kg:adjacentTo')
+WHERE a.p = 'kg:inRegion'"""
+
+
+QUERIES["bgp_path_nps"] = q_bgp_path_nps
+ORACLES["bgp_path_nps"] = SQL_BGP_PATH_NPS
+
+
 
 # ---------------------------------------------------------------------------
 # incremental fusion (pipeline.fuse_delta): the crawl-increment entry point —
@@ -2772,6 +2800,7 @@ _EVIDENCE_PRIORITY = [
     "bgp_minus_filter",
     "construct_region_member",
     "v_complex_path",
+    "bgp_path_nps",
     # round-2 queries absent from CORRECTNESS_r01/r02 (VERDICT r2, next #1)
     "v_shape30_report",
     "v_lubm_schema1",

@@ -185,7 +185,7 @@ def bgp(
 # ``distinct=True`` for set results.
 # ---------------------------------------------------------------------------
 
-_PATH_OPS = set("^|/+*?()")
+_PATH_OPS = set("^|/+*?()!")
 
 
 def _path_tokens(expr: str) -> list[str]:
@@ -245,11 +245,43 @@ def parse_path(expr: str):
             e = ("iri", t)
         return e
 
+    def nps():
+        """Negated property set !iri / !^iri / !(iri|^iri|…) — SPARQL §9.1.
+        Forward members exclude forward edges, reverse members exclude
+        reverse edges; each complement part exists only if its set does."""
+        fwd: list[str] = []
+        rev: list[str] = []
+
+        def member():
+            tgt = rev if peek() == "^" else fwd
+            if peek() == "^":
+                take()
+            t = take()
+            if t in _PATH_OPS:
+                raise ValueError(f"bad negated-property-set member {t!r}: {expr!r}")
+            tgt.append(t)
+
+        if peek() == "(":
+            take()
+            member()
+            while peek() == "|":
+                take()
+                member()
+            if take() != ")":
+                raise ValueError(f"expected ')' in negated property set: {expr!r}")
+        else:
+            member()
+        return ("nps", fwd, rev)
+
     def step():
         if peek() == "^":
             take()
             return ("inv", step())
-        e = atom()
+        if peek() == "!":
+            take()
+            e = nps()
+        else:
+            e = atom()
         while peek() in ("+", "*", "?"):
             e = ({"+": "plus", "*": "star", "?": "opt"}[take()], e)
         return e
@@ -374,6 +406,29 @@ def eval_path(triples: DataFrame, expr, keep_meta: bool = False) -> DataFrame:
             return _path_closure(ev(e[1])).union(_graph_terms(triples)).distinct()
         if kind == "opt":
             return ev(e[1]).union(_graph_terms(triples)).distinct()
+        if kind == "nps":
+            fwd, rev = e[1], e[2]
+            parts = []
+            if fwd:  # forward edges whose predicate is outside the set
+                parts.append(
+                    triples.filter(~F.col("p").isin(fwd)).select(
+                        F.col("s").alias("a"), F.col("o").alias("b"),
+                        null_lit.alias("a_lit"), F.lit(False).alias("a_is"),
+                        F.col("o_lit").alias("b_lit"), F.col("is_lit").alias("b_is"),
+                    )
+                )
+            if rev:  # reverse edges whose predicate is outside the set
+                parts.append(
+                    triples.filter(~F.col("p").isin(rev)).select(
+                        F.col("o").alias("a"), F.col("s").alias("b"),
+                        F.col("o_lit").alias("a_lit"), F.col("is_lit").alias("a_is"),
+                        null_lit.alias("b_lit"), F.lit(False).alias("b_is"),
+                    )
+                )
+            out = parts[0]
+            for p_ in parts[1:]:
+                out = out.union(p_)
+            return out
         raise ValueError(f"unknown path node {e!r}")
 
     out = ev(ast)

@@ -181,3 +181,22 @@ def test_construct(spark):
     # unbound template variable raises
     with pytest.raises(ValueError, match="not bound"):
         construct(g, [("?x", EX + "knows", "?y")], [("?z", EX + "p", "?x")])
+
+
+def test_path_negated_property_set(spark):
+    from re_shacl_spark.query import eval_path, parse_path
+
+    g = _chain(spark)  # n-chain a->b->c->d, a -m-> d, a type T
+    pairs = lambda e: {tuple(r) for r in eval_path(g, e).collect()}  # noqa: E731
+    # everything except n-edges: the m edge and the type edge
+    assert pairs(f"!<{EX}n>") == {(EX + "a", EX + "d"), (EX + "a", EX + "T")}
+    # set form excluding both n and the type predicate
+    assert pairs(f"!(<{EX}n>|<{vocab.TYPE}>)") == {(EX + "a", EX + "d")}
+    # reverse-only member: reverse edges not labeled m (i.e. reverse n + type)
+    got = pairs(f"!(^<{EX}m>)")
+    assert (EX + "b", EX + "a") in got and (EX + "a", EX + "d") not in got
+    # mixed: union of both complements
+    assert parse_path(f"!(<{EX}n>|^<{EX}m>)") == (
+        "nps", [EX + "n"], [EX + "m"])
+    with pytest.raises(ValueError):
+        parse_path("!(a|+)")
