@@ -279,6 +279,7 @@ def validate(
     with_details: bool = False,
     _ref_sets: dict[str, DataFrame] | None = None,
     _extra_focus: dict[str, DataFrame] | None = None,
+    _focus_subset: DataFrame | None = None,
 ) -> ValidationReport:
     shapes = [s for s in shapes if not s.deactivated]  # sh:deactivated true
     pc_rows = _pc_rows(shapes)
@@ -305,6 +306,17 @@ def validate(
         for x in extra_parts:
             targets = targets.unionByName(x)
         targets = targets.distinct()
+    if _focus_subset is not None:
+        # incremental validation (validate/incremental.py): re-check only the
+        # foci a delta touched — the grid, values join and aggregations all
+        # shrink to the affected slice.  sh:node conforming sets stay GLOBAL
+        # (resolved by the unrestricted recursion below), so restriction never
+        # changes a re-checked focus's verdict.
+        targets = targets.join(
+            _focus_subset.select(F.col("node").alias("focus")).distinct(),
+            "focus",
+            "left_semi",
+        )
     # focus × constraint grid for this shape's targets
     tp = targets.join(base_pcs.select("pc_id", "shape_id"), "shape_id")
 

@@ -454,3 +454,92 @@ def test_shacl_path_compile_from_ttl(spark):
     ])
     rep = validate(spark, g, shapes)
     assert rep.conforms
+
+
+def test_validate_delta_matches_full(spark):
+    from re_shacl_spark.validate.incremental import validate_delta
+
+    def rows_for(n_orders):
+        rows = []
+        for i in range(1, 5):
+            rows.append(iri_triple(EX + f"c{i}", vocab.TYPE, EX + "Cust"))
+        for c, n in n_orders.items():
+            for j in range(n):
+                rows.append(iri_triple(EX + c, EX + "ordered", EX + f"o{c}{j}"))
+        return rows
+
+    # base: c1 has 2 orders (ok), c2 has 1 (minCount viol), c3 has 0 (viol),
+    # c4 has 3 (maxCount 2 viol)
+    base_rows = rows_for({"c1": 2, "c2": 1, "c3": 0, "c4": 3})
+    shapes = [NodeShape("S", target_classes=[EX + "Cust"], properties=[
+        PropertyConstraint(path=EX + "ordered", min_count=2, max_count=2),
+    ])]
+    base = triples_df(spark, base_rows)
+    base_rep = validate(spark, base, shapes)
+    # delta: fixes c2 (adds 1 order), worsens c1 (adds 1 -> maxCount viol),
+    # adds a brand-new target c5 with zero orders (via its type edge only)
+    delta = triples_df(spark, [
+        iri_triple(EX + "c2", EX + "ordered", EX + "oX"),
+        iri_triple(EX + "c1", EX + "ordered", EX + "oY"),
+        iri_triple(EX + "c5", vocab.TYPE, EX + "Cust"),
+    ])
+    inc = validate_delta(spark, base, delta, shapes, base_rep)
+    full = validate(spark, base.unionByName(delta), shapes)
+    got = {tuple(r) for r in inc.violations.collect()}
+    want = {tuple(r) for r in full.violations.collect()}
+    assert got == want
+    assert (EX + "c2", "S", EX + "ordered", "minCount", "1") not in got  # fixed
+    assert (EX + "c1", "S", EX + "ordered", "maxCount", "3") in got      # new
+    assert (EX + "c5", "S", EX + "ordered", "minCount", "0") in got      # new target
+    assert (EX + "c3", "S", EX + "ordered", "minCount", "0") in got      # kept
+
+
+def test_validate_delta_node_ref_widening(spark):
+    from re_shacl_spark.validate.incremental import validate_delta
+
+    # f -knows-> v ; shape S: values at knows must conform to R (needs name).
+    # base: v has no name -> f violates sh:node.  delta adds v's name — f is
+    # NOT a delta subject/object, only reachable via the reverse ref path.
+    base = triples_df(spark, [
+        iri_triple(EX + "f", vocab.TYPE, EX + "Person"),
+        iri_triple(EX + "f", EX + "knows", EX + "v"),
+        iri_triple(EX + "v", vocab.TYPE, EX + "Person"),
+        lit_triple(EX + "v", EX + "age", "1", XSD_INT),
+    ])
+    shapes = [
+        NodeShape("S", target_classes=[EX + "Person"], properties=[
+            PropertyConstraint(path=EX + "knows", node_ref="R"),
+        ]),
+        NodeShape("R", properties=[
+            PropertyConstraint(path=EX + "name", min_count=1),
+        ]),
+    ]
+    base_rep = validate(spark, base, shapes)
+    assert not base_rep.conforms
+    delta = triples_df(spark, [lit_triple(EX + "v", EX + "name", "Vee")])
+    inc = validate_delta(spark, base, delta, shapes, base_rep)
+    full = validate(spark, base.unionByName(delta), shapes)
+    assert {tuple(r) for r in inc.violations.collect()} == \
+        {tuple(r) for r in full.violations.collect()}
+    assert inc.conforms
+
+
+def test_validate_delta_fallbacks(spark):
+    from re_shacl_spark.query import Path as PathExpr
+    from re_shacl_spark.validate.incremental import validate_delta
+
+    base = triples_df(spark, [
+        iri_triple(EX + "a", vocab.TYPE, EX + "T"),
+        iri_triple(EX + "a", EX + "n", EX + "b"),
+    ])
+    delta = triples_df(spark, [iri_triple(EX + "b", EX + "n", EX + "c")])
+    # complex path -> full validation, still equal to full run
+    shapes = [NodeShape("S", target_classes=[EX + "T"], properties=[
+        PropertyConstraint(path=PathExpr(f"<{EX}n>+"), min_count=2),
+    ])]
+    base_rep = validate(spark, base, shapes)
+    inc = validate_delta(spark, base, delta, shapes, base_rep)
+    full = validate(spark, base.unionByName(delta), shapes)
+    assert {tuple(r) for r in inc.violations.collect()} == \
+        {tuple(r) for r in full.violations.collect()}
+    assert inc.conforms  # a reaches b,c after the delta
