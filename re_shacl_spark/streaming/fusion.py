@@ -32,6 +32,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from re_shacl_spark.model.triples import TRIPLE_SCHEMA
 from re_shacl_spark.pipeline import FusionResult, fuse, fuse_delta
@@ -70,7 +71,49 @@ def load_state(spark: SparkSession, state_dir: str) -> FusionResult | None:
     )
 
 
-def _apply_batch(spark: SparkSession, state_dir: str, batch: DataFrame, batch_id: int) -> None:
+def load_violations(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """Current maintained violations report (shapes-enabled streams only)."""
+    v = _read_pointer(state_dir)
+    if v is None:
+        return None
+    path = os.path.join(state_dir, v, "violations")
+    if not os.path.exists(path):
+        return None
+    return spark.read.parquet(path)
+
+
+def _maintained_report(spark, base, res, prev_violations, shapes):
+    """Per-batch violations maintenance: when the batch triggered no
+    representative merges (rep-map row count unchanged — every merge adds
+    member→rep rows), only the CLOSED delta's affected foci are re-validated
+    and spliced into the previous report (validate/incremental.py); any merge
+    activity renames foci globally, so the report rebuilds in full."""
+    from re_shacl_spark.validate.engine import ValidationReport, validate
+    from re_shacl_spark.validate.incremental import validate_delta
+
+    if base is None or prev_violations is None:
+        return validate(spark, res.triples, shapes).violations
+    if res.rep_map.count() != base.rep_map.count():
+        return validate(spark, res.triples, shapes).violations
+    old = base.triples
+    cond = (
+        (F.col("n.s") == F.col("o.s"))
+        & (F.col("n.p") == F.col("o.p"))
+        & (F.col("n.o") == F.col("o.o"))
+        & F.col("n.o_lit").eqNullSafe(F.col("o.o_lit"))
+    )
+    delta = res.triples.alias("n").join(old.alias("o"), cond, "left_anti")
+    prev = ValidationReport(prev_violations, True, len(shapes))
+    return validate_delta(spark, old, delta, shapes, prev).violations
+
+
+def _apply_batch(
+    spark: SparkSession,
+    state_dir: str,
+    batch: DataFrame,
+    batch_id: int,
+    shapes=None,
+) -> None:
     if _read_pointer(state_dir) == f"v{batch_id}":
         # crash-replay of a fully-applied batch (state landed, checkpoint
         # commit didn't): the pointer only ever moves AFTER a complete state
@@ -79,6 +122,7 @@ def _apply_batch(spark: SparkSession, state_dir: str, batch: DataFrame, batch_id
         # and the replay recomputes into v{batch_id} from scratch (overwrite).
         return
     base = load_state(spark, state_dir)
+    prev_violations = load_violations(spark, state_dir) if shapes else None
     if base is None:
         res = fuse(spark, batch)
     else:
@@ -86,6 +130,9 @@ def _apply_batch(spark: SparkSession, state_dir: str, batch: DataFrame, batch_id
     vdir = os.path.join(state_dir, f"v{batch_id}")
     res.triples.write.mode("overwrite").parquet(os.path.join(vdir, "triples"))
     res.rep_map.write.mode("overwrite").parquet(os.path.join(vdir, "rep_map"))
+    if shapes:
+        report = _maintained_report(spark, base, res, prev_violations, shapes)
+        report.write.mode("overwrite").parquet(os.path.join(vdir, "violations"))
     _write_pointer(state_dir, f"v{batch_id}")
 
 
@@ -95,11 +142,15 @@ def run_streaming_fusion(
     state_dir: str,
     checkpoint_dir: str,
     max_files: int = 64,
+    shapes=None,
 ) -> FusionResult:
     """Drain all unseen triple files (Trigger.AvailableNow), folding each
     micro-batch into the fused state; returns the final state.  Re-invocation
     picks up exactly where the checkpoint log left off — the batch analog of
-    a continuously-running maintenance query."""
+    a continuously-running maintenance query.  With ``shapes`` the versioned
+    state also carries a continuously-maintained violations report
+    (incremental per merge-free batch, rebuilt on merge activity); read it
+    with ``load_violations``."""
     os.makedirs(state_dir, exist_ok=True)
     stream = (
         spark.readStream.schema(TRIPLE_SCHEMA)
@@ -108,7 +159,7 @@ def run_streaming_fusion(
     )
     q = (
         stream.writeStream.foreachBatch(
-            lambda df, bid: _apply_batch(spark, state_dir, df, bid)
+            lambda df, bid: _apply_batch(spark, state_dir, df, bid, shapes=shapes)
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

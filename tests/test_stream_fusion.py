@@ -68,3 +68,50 @@ def test_crash_replay_is_idempotent(spark, tmp_path):
     _apply_batch(spark, sdir, b1, 1)
     again = load_state(spark, sdir)
     assert _tset(again.triples) == once
+
+
+def test_stream_maintained_violations(spark, tmp_path):
+    from re_shacl_spark.streaming.fusion import load_violations
+    from re_shacl_spark.validate.engine import validate
+    from re_shacl_spark.validate.shapes import NodeShape, PropertyConstraint
+
+    tdir, sdir, ck = (str(tmp_path / d) for d in ("t", "s", "ck"))
+    shapes = [NodeShape("S", target_classes=[X + "P"], properties=[
+        PropertyConstraint(path=X + "knows", min_count=1, max_count=1),
+    ])]
+    # batch 1: a0,a1 typed; a0 knows a1 (a1 violates minCount)
+    b1 = [
+        iri_triple(X + "a0", vocab.TYPE, X + "P"),
+        iri_triple(X + "a1", vocab.TYPE, X + "P"),
+        iri_triple(X + "a0", X + "knows", X + "a1"),
+    ]
+    triples_df(spark, b1).write.mode("append").parquet(tdir)
+    run_streaming_fusion(spark, tdir, sdir, ck, shapes=shapes)
+    v1 = {tuple(r) for r in load_violations(spark, sdir).collect()}
+    assert (X + "a1", "S", X + "knows", "minCount", "0") in v1
+    # batch 2 (merge-free): fixes a1, breaks a0 (2nd knows), adds target a2
+    b2 = [
+        iri_triple(X + "a1", X + "knows", X + "a0"),
+        iri_triple(X + "a0", X + "knows", X + "a2"),
+        iri_triple(X + "a2", vocab.TYPE, X + "P"),
+    ]
+    triples_df(spark, b2).write.mode("append").parquet(tdir)
+    res = run_streaming_fusion(spark, tdir, sdir, ck, shapes=shapes)
+    got = {tuple(r) for r in load_violations(spark, sdir).collect()}
+    want = {tuple(r) for r in
+            validate(spark, triples_df(spark, b1 + b2), shapes).violations.collect()}
+    assert got == want
+    assert (X + "a1", "S", X + "knows", "minCount", "0") not in got
+    assert (X + "a0", "S", X + "knows", "maxCount", "2") in got
+    # batch 3 triggers a sameAs merge (rep-map grows) → full rebuild branch;
+    # the report must track the canonicalized graph
+    b3 = [
+        iri_triple(X + "a2", vocab.SAMEAS, X + "a1"),
+        iri_triple(X + "sameAsMarker", vocab.TYPE, X + "Q"),
+    ]
+    triples_df(spark, b3).write.mode("append").parquet(tdir)
+    res3 = run_streaming_fusion(spark, tdir, sdir, ck, shapes=shapes)
+    got3 = {tuple(r) for r in load_violations(spark, sdir).collect()}
+    want3 = {tuple(r) for r in
+             validate(spark, res3.triples, shapes).violations.collect()}
+    assert got3 == want3
