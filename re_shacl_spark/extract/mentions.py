@@ -59,10 +59,13 @@ def detect_mentions(
     alias_rows: list[tuple[str, str, float]],
     text_col: str = "text",
     skip_empty_lang: bool = True,
+    all_candidates: bool = False,
 ) -> DataFrame:
     """pages + ``mentions`` column.  Rows with null text (or empty lang when
     skip_empty_lang) get an empty mention list — the reference-mandated skip
-    path."""
+    path.  ``all_candidates`` emits every dictionary candidate per hit (for
+    downstream disambiguation — extract/linking.py); the default keeps the
+    dictionary's first entry per alias."""
     sc = pages.sparkSession.sparkContext
     bc = sc.broadcast(alias_rows)
     out_schema = T.StructType(pages.schema.fields + [T.StructField("mentions", MENTION_TYPE)])
@@ -80,8 +83,8 @@ def detect_mentions(
                 alias = m.group(1).lower()
                 cands = table.get(alias)
                 if cands:
-                    ent, prior = cands[0]
-                    out.append((alias, ent, prior, m.start()))
+                    for ent, prior in cands if all_candidates else cands[:1]:
+                        out.append((alias, ent, prior, m.start()))
             return out
 
         for b in batches:

@@ -2746,6 +2746,75 @@ QUERIES["stream_validate"] = q_stream_validate
 ORACLES["stream_validate"] = SQL_V_DELTA_INCREMENTAL
 
 
+# ---------------------------------------------------------------------------
+# entity-link disambiguation by page-level embedding coherence
+# (extract/linking.py): ambiguous aliases resolve to the candidate whose
+# embedding best matches the page's candidate centroid, weighted by prior
+# ---------------------------------------------------------------------------
+
+AMBIG_ALIASES: list[tuple[str, str, float]] = [
+    ("spark", "e:1", 0.9), ("spark", "e:2", 0.7),
+    ("table", "e:3", 1.0), ("table", "e:4", 0.9),
+    ("customer", "e:5", 0.8),
+    ("window", "e:6", 0.6), ("window", "e:7", 0.9),
+    ("value", "e:8", 1.0),
+]
+
+
+def q_kg_link_disambiguate(spark, sf_dir):
+    """Ambiguous mention candidates over the documents corpus, resolved by
+    coherence against the page's embedding centroid (extract/linking.py) —
+    pure column algebra: posexplode, two keyed aggregations, one argmax
+    window.  Entity ids map to embeddings.vec_id rows."""
+    from re_shacl_spark.extract.linking import coherence_disambiguate
+
+    pages = extract_text(_doc_pages(spark, sf_dir))
+    m = detect_mentions(pages, AMBIG_ALIASES, skip_empty_lang=False, all_candidates=True)
+    cand = mention_pairs(m).select(
+        "url", "alias", "entity", F.col("score").alias("prior")
+    )
+    emb = _read(spark, sf_dir, "embeddings").select(
+        F.concat(F.lit("e:"), F.col("vec_id")).alias("entity"),
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+    return coherence_disambiguate(cand, emb)
+
+
+def _sql_ambig_cte() -> str:
+    parts = [
+        f"""SELECT 'https://d/'||doc_id::varchar AS url, '{a}' AS alias, '{e}' AS entity,
+{p} AS prior,
+len(regexp_extract_all(lower(trim(regexp_replace(coalesce(text,''), '\\s+', ' ', 'g'))), '\\b{a}\\b'))::BIGINT AS n
+FROM documents"""
+        for a, e, p in AMBIG_ALIASES
+    ]
+    return " UNION ALL ".join(parts)
+
+
+SQL_KG_LINK_DISAMBIGUATE = f"""WITH m AS ({_sql_ambig_cte()}),
+cand AS (SELECT DISTINCT url, alias, entity, prior FROM m WHERE n > 0),
+ce AS (SELECT 'e:'||vec_id AS entity, embedding::DOUBLE[] AS v FROM embeddings),
+pe AS (SELECT DISTINCT url, entity FROM cand),
+un AS (SELECT url, entity, generate_subscripts(v, 1) AS idx, unnest(v) AS val
+       FROM pe JOIN ce USING(entity)),
+cent AS (SELECT url, idx, avg(val) AS c FROM un GROUP BY url, idx),
+d AS (SELECT un.url, un.entity, sum(val * c) AS dot,
+             sqrt(sum(val * val)) AS nv, sqrt(sum(c * c)) AS nc
+      FROM un JOIN cent ON cent.url = un.url AND cent.idx = un.idx
+      GROUP BY un.url, un.entity),
+s AS (SELECT cand.url, cand.alias, cand.entity,
+             round(prior * (1 + CASE WHEN nv > 0 AND nc > 0
+                                     THEN dot / (nv * nc) ELSE 0 END) / 2, 6) AS score
+      FROM cand JOIN d ON d.url = cand.url AND d.entity = cand.entity),
+w AS (SELECT *, row_number() OVER (PARTITION BY url, alias
+                                   ORDER BY score DESC, entity) AS rn FROM s)
+SELECT url, alias, entity, score FROM w WHERE rn = 1"""
+
+
+QUERIES["kg_link_disambiguate"] = q_kg_link_disambiguate
+ORACLES["kg_link_disambiguate"] = SQL_KG_LINK_DISAMBIGUATE
+
+
 
 # ---------------------------------------------------------------------------
 # incremental fusion (pipeline.fuse_delta): the crawl-increment entry point —
@@ -2892,6 +2961,7 @@ _EVIDENCE_PRIORITY = [
     "bgp_path_nps",
     "v_delta_incremental",
     "stream_validate",
+    "kg_link_disambiguate",
     # round-2 queries absent from CORRECTNESS_r01/r02 (VERDICT r2, next #1)
     "v_shape30_report",
     "v_lubm_schema1",

@@ -52,3 +52,57 @@ def test_extract_fills_only_missing_text(spark):
     pre = pages.limit(10).withColumn("text", pages.url)  # pretend text exists
     got = extract_text(pre).select("url", "text").collect()
     assert all(r.text == r.url for r in got)
+
+
+def test_coherence_disambiguate(spark):
+    from re_shacl_spark.extract.linking import coherence_disambiguate
+
+    # page P mentions "ada" (candidates e1/e2) and "bit" (unambiguous e3).
+    # e1 points along e3 (coherent), e2 is orthogonal — e1 must win even
+    # though e2 has the higher prior.
+    cand = spark.createDataFrame(
+        [
+            ("P", "ada", "e1", 0.7),
+            ("P", "ada", "e2", 0.9),
+            ("P", "bit", "e3", 1.0),
+        ],
+        "url string, alias string, entity string, prior double",
+    )
+    emb = spark.createDataFrame(
+        [
+            ("e1", [1.0, 0.0, 0.0]),
+            ("e2", [0.0, 0.0, 1.0]),
+            ("e3", [1.0, 0.0, 0.0]),
+        ],
+        "entity string, emb array<double>",
+    )
+    got = {(r.alias, r.entity) for r in coherence_disambiguate(cand, emb).collect()}
+    assert got == {("ada", "e1"), ("bit", "e3")}
+    # hand-check e1's score: centroid=(2/3,0,1/3); cos(e1,cent)=2/sqrt(5);
+    # score = 0.7*(1+2/sqrt(5))/2
+    import math
+
+    s = {r.entity: r.score for r in coherence_disambiguate(cand, emb).collect()}
+    assert abs(s["e1"] - round(0.7 * (1 + 2 / math.sqrt(5)) / 2, 6)) < 1e-9
+    # determinism on exact ties: lowest entity id wins
+    cand2 = spark.createDataFrame(
+        [("P", "x", "a2", 0.5), ("P", "x", "a1", 0.5)],
+        "url string, alias string, entity string, prior double",
+    )
+    emb2 = spark.createDataFrame(
+        [("a1", [1.0, 0.0]), ("a2", [1.0, 0.0])], "entity string, emb array<double>"
+    )
+    assert [r.entity for r in coherence_disambiguate(cand2, emb2).collect()] == ["a1"]
+
+
+def test_detect_mentions_all_candidates(spark):
+    from re_shacl_spark.extract.mentions import detect_mentions, mention_pairs
+
+    pages = spark.createDataFrame(
+        [("u1", "the spark rose", "en")], "url string, text string, lang string"
+    )
+    aliases = [("spark", "e1", 0.9), ("spark", "e2", 0.7)]
+    one = mention_pairs(detect_mentions(pages, aliases)).collect()
+    assert {r.entity for r in one} == {"e1"}  # default: first dictionary entry
+    both = mention_pairs(detect_mentions(pages, aliases, all_candidates=True)).collect()
+    assert {(r.entity, r.score) for r in both} == {("e1", 0.9), ("e2", 0.7)}
