@@ -2560,6 +2560,71 @@ QUERIES["bgp_minus_filter"] = q_bgp_minus_filter
 ORACLES["bgp_minus_filter"] = SQL_BGP_MINUS_FILTER
 
 
+def q_bgp_union(spark, sf_dir):
+    """SPARQL UNION over branches with DIFFERENT variable domains: entities
+    with a resolved nation+region chain, unioned with bare supplier typings
+    (whose n/r stay unbound → null).  Each branch is an independent
+    predicate-pruned join tree; the union itself is a zero-shuffle
+    concatenation (query.py::union), the final DISTINCT is the only
+    exchange."""
+    from re_shacl_spark.query import union
+
+    t = rel_triples(spark, sf_dir)
+    return union(
+        t,
+        [
+            [("?e", "kg:inNation", "?n"), ("?n", "kg:inRegion", "?r")],
+            [("?e", TYPE, "kg:Supplier")],
+        ],
+        select=["e", "n", "r"],
+        distinct=True,
+    )
+
+
+SQL_BGP_UNION = f"""WITH {REL_TRIPLES_CTE.strip()}
+SELECT a.s AS e, a.o AS n, b.o AS r
+FROM base a JOIN base b ON b.s = a.o AND b.p = 'kg:inRegion'
+WHERE a.p = 'kg:inNation'
+UNION
+SELECT s AS e, NULL::varchar AS n, NULL::varchar AS r
+FROM base WHERE p = '{TYPE}' AND o = 'kg:Supplier'"""
+
+
+def q_bgp_values(spark, sf_dir):
+    """SPARQL VALUES with UNDEF: customers with their nation, constrained by
+    an inline binding table — two rows pin ?n (UNDEF ?c), one row pins ?c
+    (UNDEF ?n).  Rows group by defined-column mask, each group broadcast-joins
+    on its own columns, groups union with multiset cardinality (a binding
+    matched by a ?n row AND the ?c row appears twice — SPARQL §10.2
+    compatibility, mirrored by the oracle's UNION ALL)."""
+    from re_shacl_spark.query import bgp
+
+    t = rel_triples(spark, sf_dir)
+    return bgp(
+        t,
+        [("?c", TYPE, "kg:Customer"), ("?c", "kg:inNation", "?n")],
+        values=(["n", "c"], [("n:1", None), ("n:3", None), (None, "c:5")]),
+        select=["c", "n"],
+    )
+
+
+SQL_BGP_VALUES = f"""WITH {REL_TRIPLES_CTE.strip()},
+sol AS (
+  SELECT a.s AS c, a.o AS n FROM base a
+  JOIN base t ON t.s = a.s AND t.p = '{TYPE}' AND t.o = 'kg:Customer'
+  WHERE a.p = 'kg:inNation'
+)
+SELECT c, n FROM sol WHERE n IN ('n:1', 'n:3')
+UNION ALL
+SELECT c, n FROM sol WHERE c = 'c:5'"""
+
+
+QUERIES["bgp_union"] = q_bgp_union
+QUERIES["bgp_values"] = q_bgp_values
+ORACLES["bgp_union"] = SQL_BGP_UNION
+ORACLES["bgp_values"] = SQL_BGP_VALUES
+
+
 def q_construct_region_member(spark, sf_dir):
     """SPARQL CONSTRUCT: flatten the customer→nation→region chain into direct
     kg:inRegion edges plus a kg:RegionMember typing — the match runs once, the

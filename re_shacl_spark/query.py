@@ -122,6 +122,7 @@ def bgp(
     allow_cross: bool = False,
     where: Column | None = None,
     minus: list[Pattern] | None = None,
+    values: tuple[list[str], list[tuple]] | None = None,
 ) -> DataFrame:
     """Match a conjunctive pattern list; returns one column per variable.
 
@@ -131,8 +132,15 @@ def bgp(
     after the required block (Catalyst pushes it below the joins when legal).
     ``minus`` removes bindings compatible with the given BGP on their shared
     variables (SPARQL MINUS — a left-anti join; with no shared variable it
-    removes nothing, per spec).  ``select`` projects (and orders) the output
-    variables; ``distinct`` deduplicates bindings (SPARQL SELECT DISTINCT).
+    removes nothing, per spec).  ``values`` is a SPARQL VALUES block —
+    ``(["n", "r"], [("n:1", "r:0"), ("n:3", None)])`` joins the inline
+    binding table into the solution (a broadcast hash join: the table is
+    query-text-sized by construction); ``None`` entries are UNDEF and leave
+    that variable unconstrained for that row (rows are grouped by their
+    defined-column mask and each group joins on its own columns — multiset
+    semantics, a binding matched by two VALUES rows appears twice).
+    ``select`` projects (and orders) the output variables; ``distinct``
+    deduplicates bindings (SPARQL SELECT DISTINCT).
     """
     if not patterns:
         raise ValueError("empty BGP")
@@ -144,6 +152,8 @@ def bgp(
         else:
             shared = sorted(set(out.columns) & set(scan.columns))
             out = out.join(scan, shared) if shared else out.crossJoin(scan)
+    if values is not None:
+        out = _apply_values(out, values)
     if where is not None:
         out = out.filter(where)
     if minus:
@@ -157,6 +167,70 @@ def bgp(
         if not shared:
             raise ValueError(f"OPTIONAL pattern shares no variable: {pat}")
         out = out.join(scan, shared, "left")
+    if select:
+        out = out.select(*select)
+    return out.distinct() if distinct else out
+
+
+def _apply_values(out: DataFrame, values: tuple[list[str], list[tuple]]) -> DataFrame:
+    """Join a SPARQL VALUES table into the solution frame.
+
+    Rows are grouped by which columns they define (UNDEF = ``None``); each
+    group inner-joins on its defined columns only, and the groups' outputs
+    union — SPARQL §10.2 compatibility semantics, preserving multiset
+    cardinality.  Every group join is a broadcast: the table is literal query
+    text, never data-sized."""
+    names, rows = values
+    if not names or any(len(r) != len(names) for r in rows):
+        raise ValueError("VALUES rows must match the variable list arity")
+    unknown = [n for n in names if n not in out.columns]
+    if unknown:
+        raise ValueError(f"VALUES variables not bound by the pattern: {unknown}")
+    spark = out.sparkSession
+    by_mask: dict[tuple[int, ...], list[tuple]] = {}
+    for r in rows:
+        mask = tuple(i for i, v in enumerate(r) if v is not None)
+        by_mask.setdefault(mask, []).append(r)
+    parts: list[DataFrame] = []
+    for mask, group in by_mask.items():
+        if not mask:  # all-UNDEF rows: each passes every binding unchanged
+            for _ in group:
+                parts.append(out)
+            continue
+        cols = [names[i] for i in mask]
+        vdf = spark.createDataFrame(
+            [tuple(r[i] for i in mask) for r in group], schema=cols
+        )
+        parts.append(out.join(F.broadcast(vdf), cols))
+    joined = parts[0]
+    for p_ in parts[1:]:
+        joined = joined.unionByName(p_)
+    return joined
+
+
+def union(
+    triples: DataFrame,
+    branches: list[list[Pattern]],
+    select: list[str] | None = None,
+    distinct: bool = False,
+    allow_cross: bool = False,
+) -> DataFrame:
+    """SPARQL UNION: evaluate each branch BGP independently and take the
+    multiset union of their solutions.  Branches may bind different variable
+    sets — a variable absent from a branch is null in that branch's rows
+    (``unionByName(allowMissingColumns=True)``), exactly SPARQL's unbound.
+    ``distinct=True`` gives SELECT DISTINCT over the union.
+
+    Scale shape: each branch is an independent predicate-pruned join tree;
+    the union is a zero-shuffle concatenation (Spark Union is narrow), so the
+    whole query costs the sum of its branches plus one exchange only when
+    ``distinct`` forces the final dedup."""
+    if not branches:
+        raise ValueError("empty UNION")
+    outs = [bgp(triples, b, allow_cross=allow_cross) for b in branches]
+    out = outs[0]
+    for o_ in outs[1:]:
+        out = out.unionByName(o_, allowMissingColumns=True)
     if select:
         out = out.select(*select)
     return out.distinct() if distinct else out

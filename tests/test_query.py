@@ -200,3 +200,51 @@ def test_path_negated_property_set(spark):
         "nps", [EX + "n"], [EX + "m"])
     with pytest.raises(ValueError):
         parse_path("!(a|+)")
+
+
+def test_union_domains_and_nulls(spark):
+    from re_shacl_spark.query import union
+
+    g = _g(spark)
+    got = {tuple(r) for r in union(
+        g,
+        [
+            [("?x", EX + "knows", "?y")],
+            [("?x", vocab.TYPE, EX + "Person")],  # binds ?x only → ?y null
+        ],
+        select=["x", "y"],
+        distinct=True,
+    ).collect()}
+    assert (EX + "a", EX + "b") in got and (EX + "c", EX + "a") in got
+    assert (EX + "a", None) in got and (EX + "b", None) in got
+    with pytest.raises(ValueError):
+        union(g, [])
+
+
+def test_values_inline_bindings(spark):
+    g = _g(spark)
+    # plain single-var VALUES: restrict ?x to a and c
+    got = {tuple(r) for r in bgp(
+        g, [("?x", EX + "knows", "?y")],
+        values=(["x"], [(EX + "a",), (EX + "c",)]),
+    ).collect()}
+    assert got == {(EX + "a", EX + "b"), (EX + "c", EX + "a")}
+    # UNDEF: row 1 pins x, row 2 pins y; binding (a,b) matches row 1 only,
+    # (b,a) matches row 2 only, (c,a) matches row 2 only
+    rows = bgp(
+        g, [("?x", EX + "knows", "?y")],
+        values=(["x", "y"], [(EX + "a", None), (None, EX + "a")]),
+    ).collect()
+    assert sorted(tuple(r) for r in rows) == sorted([
+        (EX + "a", EX + "b"), (EX + "b", EX + "a"), (EX + "c", EX + "a")])
+    # all-UNDEF row passes every binding once (multiset: 2 rows → doubled)
+    doubled = bgp(
+        g, [("?x", EX + "likes", "?y")],
+        values=(["x"], [(None,), (None,)]),
+    ).collect()
+    assert len(doubled) == 2
+    # errors: unknown variable, arity mismatch
+    with pytest.raises(ValueError):
+        bgp(g, [("?x", EX + "knows", "?y")], values=(["z"], [("v",)]))
+    with pytest.raises(ValueError):
+        bgp(g, [("?x", EX + "knows", "?y")], values=(["x"], [("a", "b")]))
