@@ -1911,6 +1911,81 @@ ORACLES["corpus_filter"] = _sql_corpus_filter()
 
 
 # ---------------------------------------------------------------------------
+# Deterministic sampling + sequence packing (ops/sampling.py): the corpus-
+# assembly tail of a pretraining pipeline — md5-keyed so every subset is
+# bit-reproducible across runs, cluster sizes, and the DuckDB oracle
+# ---------------------------------------------------------------------------
+
+_HASH64 = "('0x'||substring(md5({key}),1,15))::BIGINT"
+
+
+def q_corpus_hash_sample(spark, sf_dir):
+    """Deterministic 10% Bernoulli sample of documents — a pure hash filter
+    evaluated inside the scan (no shuffle, no RNG state)."""
+    from re_shacl_spark.ops import sampling as SMP
+
+    d = _read(spark, sf_dir, "documents")
+    return SMP.hash_sample(d, 0.1).select("doc_id", "source", "n_chars")
+
+
+SQL_CORPUS_HASH_SAMPLE = f"""SELECT doc_id, source, n_chars FROM documents
+WHERE {_HASH64.format(key="doc_id::varchar")} < {int(0.1 * 16**15)}"""
+
+
+def q_corpus_stratified(spark, sf_dir):
+    """Exactly 5 hash-minimal docs per source (per-domain quota sampling) —
+    the broadcast keep-fraction pre-filter bounds the exact row_number window
+    to ~overselect*quota rows per stratum (ops/sampling.stratified_sample)."""
+    from re_shacl_spark.ops import sampling as SMP
+
+    d = _read(spark, sf_dir, "documents")
+    return SMP.stratified_sample(d, quota=5).select("doc_id", "source")
+
+
+SQL_CORPUS_STRATIFIED = f"""WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {_HASH64.format(key="doc_id::varchar")}, doc_id
+         ) rn
+  FROM documents)
+SELECT doc_id, source FROM r WHERE rn <= 5"""
+
+
+def q_corpus_pack(spark, sf_dir):
+    """GPT-style sequence packing: documents in deterministic (hash, doc_id)
+    order fill 512-token sequences; each doc reports its start sequence and
+    intra-sequence offset.  The global prefix sum is range-partitioned local
+    cumsums + broadcast partition offsets — never a one-reducer window
+    (ops/sampling.pack_sequences)."""
+    from re_shacl_spark.ops import sampling as SMP
+
+    d = TS.tokens(_read(spark, sf_dir, "documents"))
+    return SMP.pack_sequences(d, budget=512)
+
+
+SQL_CORPUS_PACK = f"""WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(coalesce(text,''), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT bpe_tokens,
+         {_HASH64.format(key="doc_id::varchar")} h
+  FROM documents),
+c AS (
+  SELECT doc_id, bpe_tokens,
+         sum(bpe_tokens) OVER (ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bpe_tokens AS strt
+  FROM t)
+SELECT doc_id, bpe_tokens, strt // 512 AS seq_id, strt % 512 AS seq_off FROM c"""
+
+
+QUERIES["corpus_hash_sample"] = q_corpus_hash_sample
+QUERIES["corpus_stratified"] = q_corpus_stratified
+QUERIES["corpus_pack"] = q_corpus_pack
+ORACLES["corpus_hash_sample"] = SQL_CORPUS_HASH_SAMPLE
+ORACLES["corpus_stratified"] = SQL_CORPUS_STRATIFIED
+ORACLES["corpus_pack"] = SQL_CORPUS_PACK
+
+
+# ---------------------------------------------------------------------------
 # IVF-style ANN (the second scale path besides LSH): one coarse cell per data
 # vector, queries probe their 4 nearest of 16 deterministic centroids —
 # fully oracle-mirrorable because the centroids are data rows, not synthetic
