@@ -3102,6 +3102,11 @@ _EVIDENCE_PRIORITY = [
     "v_delta_incremental",
     "stream_validate",
     "kg_link_disambiguate",
+    "bgp_union",
+    "bgp_values",
+    "corpus_hash_sample",
+    "corpus_stratified",
+    "corpus_pack",
     # round-2 queries absent from CORRECTNESS_r01/r02 (VERDICT r2, next #1)
     "v_shape30_report",
     "v_lubm_schema1",
