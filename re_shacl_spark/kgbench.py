@@ -1977,12 +1977,35 @@ c AS (
 SELECT doc_id, bpe_tokens, strt // 512 AS seq_id, strt % 512 AS seq_off FROM c"""
 
 
+def q_corpus_mixture(spark, sf_dir):
+    """Temperature-0.5 domain mixing by character mass: per-source keep rates
+    ∝ mass^(T-1) normalized to the most-boosted source, realized by the same
+    zero-state hash filter as corpus_hash_sample riding one broadcast join
+    (ops/sampling.mixture_sample)."""
+    from re_shacl_spark.ops import sampling as SMP
+
+    d = _read(spark, sf_dir, "documents")
+    return SMP.mixture_sample(
+        d, temperature=0.5, weight_col="n_chars"
+    ).select("doc_id", "source")
+
+
+SQL_CORPUS_MIXTURE = f"""WITH m AS (
+  SELECT source, sum(n_chars)::DOUBLE AS mass FROM documents GROUP BY source),
+r AS (
+  SELECT source, pow(mass, -0.5) / max(pow(mass, -0.5)) OVER () AS rate FROM m)
+SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
+WHERE {_HASH64.format(key="d.doc_id::varchar")} < (r.rate * {16**15})::BIGINT"""
+
+
 QUERIES["corpus_hash_sample"] = q_corpus_hash_sample
 QUERIES["corpus_stratified"] = q_corpus_stratified
 QUERIES["corpus_pack"] = q_corpus_pack
+QUERIES["corpus_mixture"] = q_corpus_mixture
 ORACLES["corpus_hash_sample"] = SQL_CORPUS_HASH_SAMPLE
 ORACLES["corpus_stratified"] = SQL_CORPUS_STRATIFIED
 ORACLES["corpus_pack"] = SQL_CORPUS_PACK
+ORACLES["corpus_mixture"] = SQL_CORPUS_MIXTURE
 
 
 # ---------------------------------------------------------------------------
@@ -3107,6 +3130,7 @@ _EVIDENCE_PRIORITY = [
     "corpus_hash_sample",
     "corpus_stratified",
     "corpus_pack",
+    "corpus_mixture",
     # round-2 queries absent from CORRECTNESS_r01/r02 (VERDICT r2, next #1)
     "v_shape30_report",
     "v_lubm_schema1",

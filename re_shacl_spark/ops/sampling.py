@@ -53,6 +53,46 @@ def hash_sample(
     return df.filter(_key_hash(key_col, salt) < int(rate * HASH_SPACE))
 
 
+def mixture_sample(
+    df: DataFrame,
+    temperature: float,
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    weight_col: str | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-based domain mixing: re-weight strata toward the
+    ``n_i^temperature`` distribution (the multilingual/pretraining mixing
+    rule — T=1 keeps natural proportions, T→0 flattens toward uniform) and
+    realize the new mix by deterministic per-stratum hash downsampling.
+
+    With stratum masses ``n_i`` (row counts, or ``sum(weight_col)`` e.g.
+    tokens), target shares are ``q_i = n_i^T / Σ n_j^T``.  Downsampling can
+    only SHRINK a stratum, so rates are scaled until the most-boosted
+    stratum keeps everything: ``rate_i = (q_i/p_i) / max_j(q_j/p_j)`` where
+    ``p_i`` is the natural share — the largest realizable sample with the
+    exact target mix.  Rates ride a broadcast join; the keep decision is the
+    same zero-state hash filter as ``hash_sample``, so the result is
+    bit-stable at any parallelism."""
+    if temperature < 0:
+        raise ValueError(f"temperature must be >= 0, got {temperature}")
+    mass = F.sum(weight_col) if weight_col else F.count("*")
+    masses = df.groupBy(strata_col).agg(mass.cast("double").alias("_m"))
+    # rate_i ∝ m_i^(T-1), normalized so max rate = 1 (largest exact sample);
+    # the unpartitioned window runs on the |strata|-row agg output, not data
+    boost = F.pow(F.col("_m"), F.lit(temperature - 1.0))
+    rates = masses.select(
+        strata_col,
+        (boost / F.max(boost).over(Window.partitionBy())).alias("_rate"),
+    )
+    h = _key_hash(key_col, salt)
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .filter(h < (F.col("_rate") * HASH_SPACE).cast("long"))
+        .drop("_rate")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     quota: int,

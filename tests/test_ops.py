@@ -305,3 +305,21 @@ def test_pack_sequences_parallelism_invariant(spark):
     ends = [r[2] * 512 + r[3] + r[1] for r in a]
     assert max(ends) == total
     assert all(0 <= r[3] < 512 for r in a)
+
+
+def test_mixture_sample_flattens_toward_uniform(spark):
+    from re_shacl_spark.ops import sampling as SMP
+
+    # source a: 300 rows, source b: 30 rows — T=0 targets a uniform mix
+    rows = [(i, "a") for i in range(300)] + [(1000 + i, "b") for i in range(30)]
+    d = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = SMP.mixture_sample(d, temperature=0.0)
+    per = {r.source: r["count"] for r in out.groupBy("source").count().collect()}
+    assert per["b"] == 30                      # most-boosted stratum keeps all
+    assert 15 <= per["a"] <= 45                # ~30 expected (rate 0.1), hash noise
+    # T=1 keeps the natural mix: every row survives
+    assert SMP.mixture_sample(d, temperature=1.0).count() == 330
+    # deterministic and partitioning-invariant
+    a = {r.doc_id for r in out.collect()}
+    b = {r.doc_id for r in SMP.mixture_sample(d.repartition(9), 0.0).collect()}
+    assert a == b
