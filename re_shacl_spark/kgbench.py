@@ -2717,10 +2717,53 @@ UNION ALL
 SELECT c, n FROM sol WHERE c = 'c:5'"""
 
 
+def q_bgp_ask(spark, sf_dir):
+    """SPARQL ASK (both polarities): existence checks evaluate via isEmpty —
+    one partition's first row, never a materialized match (query.py::ask)."""
+    from re_shacl_spark.query import ask
+
+    t = rel_triples(spark, sf_dir)
+    yes = ask(t, [("?c", TYPE, "kg:Customer"), ("?c", "kg:inNation", "n:1")])
+    no = ask(t, [("?x", TYPE, "kg:Region")])  # no region typings in the KG
+    return spark.createDataFrame(
+        [("has_customer_in_n1", yes), ("has_region_type", no)],
+        "q string, answer boolean",
+    )
+
+
+SQL_BGP_ASK = f"""WITH {REL_TRIPLES_CTE.strip()}
+SELECT 'has_customer_in_n1' AS q, EXISTS(
+  SELECT 1 FROM base a JOIN base b ON b.s = a.s
+  WHERE a.p = '{TYPE}' AND a.o = 'kg:Customer'
+    AND b.p = 'kg:inNation' AND b.o = 'n:1') AS answer
+UNION ALL
+SELECT 'has_region_type', EXISTS(
+  SELECT 1 FROM base WHERE p = '{TYPE}' AND o = 'kg:Region')"""
+
+
+def q_describe_node(spark, sf_dir):
+    """SPARQL DESCRIBE: the full triple neighborhood (subject or object side)
+    of n:1 and r:0 — two IN-filtered scans unioned, one distinct exchange
+    (query.py::describe)."""
+    from re_shacl_spark.query import describe
+
+    t = rel_triples(spark, sf_dir)
+    return describe(t, ["n:1", "r:0"]).select("s", "p", "o").distinct()
+
+
+SQL_DESCRIBE_NODE = f"""WITH {REL_TRIPLES_CTE.strip()}
+SELECT DISTINCT s, p, o FROM base
+WHERE s IN ('n:1', 'r:0') OR o IN ('n:1', 'r:0')"""
+
+
 QUERIES["bgp_union"] = q_bgp_union
 QUERIES["bgp_values"] = q_bgp_values
+QUERIES["bgp_ask"] = q_bgp_ask
+QUERIES["describe_node"] = q_describe_node
 ORACLES["bgp_union"] = SQL_BGP_UNION
 ORACLES["bgp_values"] = SQL_BGP_VALUES
+ORACLES["bgp_ask"] = SQL_BGP_ASK
+ORACLES["describe_node"] = SQL_DESCRIBE_NODE
 
 
 def q_construct_region_member(spark, sf_dir):
@@ -3127,6 +3170,8 @@ _EVIDENCE_PRIORITY = [
     "kg_link_disambiguate",
     "bgp_union",
     "bgp_values",
+    "bgp_ask",
+    "describe_node",
     "corpus_hash_sample",
     "corpus_stratified",
     "corpus_pack",

@@ -236,6 +236,36 @@ def union(
     return out.distinct() if distinct else out
 
 
+def ask(triples: DataFrame, patterns: list[Pattern], **kwargs) -> bool:
+    """SPARQL ASK: does at least one solution exist?  Evaluates the BGP
+    (same kwargs as ``bgp``) lazily — Spark's ``isEmpty`` fetches a single
+    partition's first row when one exists, it does not materialize the
+    match (rdflib ``Graph.query('ASK …').askAnswer``)."""
+    return not bgp(triples, patterns, **kwargs).isEmpty()
+
+
+def describe(triples: DataFrame, nodes: list[str] | DataFrame) -> DataFrame:
+    """SPARQL DESCRIBE (concise-bounded subset): every triple whose subject
+    OR object is one of ``nodes`` — the standard resource-neighborhood dump
+    (rdflib serializes exactly this for ``DESCRIBE <iri>``).
+
+    ``nodes`` may be a literal list (becomes two IN filters evaluated in the
+    scan) or a single-column DataFrame of IRIs (two broadcast left-semi
+    joins — the DESCRIBE set is query-sized, never data-sized).  The s-side
+    and o-side scans are unioned then deduplicated: one exchange."""
+    if isinstance(nodes, DataFrame):
+        key = nodes.columns[0]
+        n = F.broadcast(nodes.select(F.col(key).alias("_n")).distinct())
+        s_side = triples.join(n, triples["s"] == n["_n"], "left_semi")
+        o_side = triples.join(n, triples["o"] == n["_n"], "left_semi")
+    else:
+        if not nodes:
+            raise ValueError("empty DESCRIBE node set")
+        s_side = triples.filter(F.col("s").isin(nodes))
+        o_side = triples.filter(F.col("o").isin(nodes))
+    return s_side.unionByName(o_side).distinct()
+
+
 # ---------------------------------------------------------------------------
 # Property-path evaluation (SPARQL 1.1 §9 subset).
 #

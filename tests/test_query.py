@@ -248,3 +248,28 @@ def test_values_inline_bindings(spark):
         bgp(g, [("?x", EX + "knows", "?y")], values=(["z"], [("v",)]))
     with pytest.raises(ValueError):
         bgp(g, [("?x", EX + "knows", "?y")], values=(["x"], [("a", "b")]))
+
+
+def test_ask_and_describe(spark):
+    from re_shacl_spark.query import ask, describe
+
+    g = _g(spark)
+    assert ask(g, [("?x", EX + "knows", "?y")]) is True
+    assert ask(g, [("?x", EX + "hates", "?y")]) is False
+    # with bgp kwargs: FILTER narrows to false
+    from pyspark.sql import functions as F
+    assert ask(g, [("?x", EX + "knows", "?y")],
+               where=F.col("x") == EX + "zzz") is False
+    # DESCRIBE: subject- and object-side triples of a
+    got = {(r.s, r.p, r.o) for r in describe(g, [EX + "a"]).collect()}
+    assert (EX + "a", EX + "knows", EX + "b") in got      # subject side
+    assert (EX + "b", EX + "knows", EX + "a") in got      # object side
+    assert (EX + "c", EX + "knows", EX + "a") in got
+    assert (EX + "a", EX + "name", "Alice") in got
+    assert all(EX + "a" in (s, o) for s, _, o in got)
+    # DataFrame node set (broadcast semi-join path) gives the same result
+    nodes = spark.createDataFrame([(EX + "a",)], ["node"])
+    got_df = {(r.s, r.p, r.o) for r in describe(g, nodes).collect()}
+    assert got_df == got
+    with pytest.raises(ValueError):
+        describe(g, [])
