@@ -1863,6 +1863,77 @@ QUERIES["stream_dedup"] = q_stream_dedup
 ORACLES["stream_dedup"] = SQL_STREAM_DEDUP
 
 
+def q_stream_window(spark, sf_dir):
+    """Watermarked event-time windowed aggregation over three deterministic
+    increments (streaming/windows.py): batch 1 = the feed up to Jan 25 minus
+    two held-back slices; batch 2 = the rest PLUS a within-watermark late
+    slice (folded into its old windows) and a months-late slice (dropped by
+    the engine); batch 3 = one far-future sentinel that finalizes every real
+    window (its own window stays open, never emitted — the sentinel's
+    watermark lands 2h before it).  AvailableNow runs a trailing no-data
+    batch per invocation, so each drain emits the windows its own data's
+    watermark finalized.  The sink holds each finalized window exactly once
+    — mirrored by the oracle as: all events minus the too-late slice,
+    hourly-grouped (the sentinel-flushed final watermark covers every real
+    window)."""
+    import tempfile
+
+    from re_shacl_spark.streaming.windows import run_window_increment
+
+    base = tempfile.mkdtemp(prefix="re_shacl_wnd_")
+    ev_dir, out_dir, ckpt = f"{base}/ev", f"{base}/out", f"{base}/ckpt"
+    ev = _read(spark, sf_dir, "events")
+    cut = F.lit("2024-01-25 00:00:00").cast("timestamp_ntz")
+    late_ok = (
+        (F.col("ts") >= cut - F.expr("interval 90 minutes"))
+        & (F.col("ts") < cut)
+        & (F.col("event_id") % 3 == 0)
+    )
+    late_drop = (
+        F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+    ) & (F.col("event_id") % 1000 == 0)
+    ev.filter((F.col("ts") < cut) & ~late_ok & ~late_drop).write.parquet(
+        f"{ev_dir}/b1"
+    )
+    run_window_increment(spark, ev_dir + "/*", out_dir, ckpt)
+    ev.filter((F.col("ts") >= cut) | late_ok | late_drop).write.parquet(
+        f"{ev_dir}/b2"
+    )
+    run_window_increment(spark, ev_dir + "/*", out_dir, ckpt)
+    import datetime
+
+    spark.createDataFrame(
+        [(-1, datetime.datetime(2024, 3, 1), -1, "sentinel", 0.0, "")],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{ev_dir}/b3")
+    run_window_increment(spark, ev_dir + "/*", out_dir, ckpt)
+    return spark.read.parquet(out_dir)
+
+
+# why wm1 never appears: batch 2's watermark is max(ts in b1) - 2h, i.e.
+# within minutes of Jan 25 minus 2h; the late_ok slice (>= Jan 25 - 90min) is
+# always above it (kept), the late_drop slice (< Jan 15) always below it
+# (dropped) — so the surviving contributions are exactly "all events minus
+# late_drop", independent of where max(b1) lands
+SQL_STREAM_WINDOW = """WITH contrib AS (
+  SELECT * FROM events
+  WHERE NOT (ts < TIMESTAMP '2024-01-15 00:00:00' AND event_id % 1000 = 0)),
+agg AS (
+  SELECT date_trunc('hour', ts) AS h, event_type,
+         count(*)::BIGINT AS n_events,
+         sum((round(value*100))::BIGINT)::BIGINT AS sum_cents,
+         min(value) AS min_value, max(value) AS max_value
+  FROM contrib GROUP BY 1, 2)
+SELECT epoch(h)::BIGINT AS win_start, event_type, n_events, sum_cents,
+       min_value, max_value
+FROM agg"""
+
+
+QUERIES["stream_window"] = q_stream_window
+ORACLES["stream_window"] = SQL_STREAM_WINDOW
+
+
 # ---------------------------------------------------------------------------
 # composite training-data pipeline: the filter a pretraining corpus build
 # actually runs — language gate ∧ quality gate ∧ exact-dedup survivor — as
@@ -3172,6 +3243,7 @@ _EVIDENCE_PRIORITY = [
     "bgp_values",
     "bgp_ask",
     "describe_node",
+    "stream_window",
     "corpus_hash_sample",
     "corpus_stratified",
     "corpus_pack",

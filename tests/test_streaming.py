@@ -110,3 +110,54 @@ def test_stateful_dedup_across_batches(spark, tmp_path, provider):
                 spark.conf.unset(key)
             else:
                 spark.conf.set(key, prev)
+
+
+def test_windowed_agg_late_data_semantics(spark, tmp_path):
+    """Watermarked hourly windows across three drains: in-watermark late rows
+    fold into their (still-open) old window, months-late rows are dropped,
+    already-emitted windows never re-emit, the sentinel flushes the rest."""
+    import datetime as dt
+
+    from re_shacl_spark.streaming.windows import run_window_increment, windowed_counts
+
+    T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    H = dt.timedelta(hours=1)
+    schema = ("event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+
+    def write(rows, name):
+        spark.createDataFrame(rows, schema).write.parquet(f"{tmp_path}/ev/{name}")
+
+    ev_dir, out, ck = f"{tmp_path}/ev/*", f"{tmp_path}/out", f"{tmp_path}/ck"
+    # batch 1: one event in hours 0..6 → watermark lands at 4:00 (6:00 - 2h),
+    # finalizing hours 0..3; hours 4..6 stay open
+    write([(i, T0 + i * H, 1, "a", 1.0, "") for i in range(7)], "b1")
+    n1 = run_window_increment(spark, ev_dir, out, ck)
+    assert n1 == 4
+    got1 = {r.win_start: r.n_events for r in spark.read.parquet(out).collect()}
+    epoch = lambda t: int((t - dt.datetime(1970, 1, 1)).total_seconds())  # noqa: E731
+    assert len(got1) == 4 and max(got1) == epoch(T0 + 3 * H)  # hours 0..3 emitted
+    # batch 2: an in-watermark late row into still-open hour 5 (ts 5:30 >= wm
+    # 4:00), a months-late row (dropped), and fresh rows advancing to 9:00
+    write([(100, T0 + 5 * H + dt.timedelta(minutes=30), 1, "a", 1.0, ""),
+           (101, T0 - dt.timedelta(days=60), 1, "a", 1.0, ""),
+           (102, T0 + 8 * H, 1, "a", 1.0, ""),
+           (103, T0 + 9 * H, 1, "a", 1.0, "")], "b2")
+    n2 = run_window_increment(spark, ev_dir, out, ck)
+    got2 = {r.win_start: r.n_events for r in spark.read.parquet(out).collect()}
+    h5 = epoch(T0 + 5 * H)
+    assert got2[h5] == 2            # late row folded into hour 5 before emission
+    assert n2 == 3                  # hours 4,5,6 closed (wm now 7:00); 8 and 9 open
+    assert all(v == 1 for k, v in got2.items() if k != h5)  # dropped row absent
+    # batch 3: far-future sentinel flushes hours 8+9; its own window never emits
+    write([(999, T0 + dt.timedelta(days=90), 1, "z", 0.0, "")], "b3")
+    n3 = run_window_increment(spark, ev_dir, out, ck)
+    assert n3 == 2
+    final = spark.read.parquet(out)
+    assert final.filter(final.event_type == "z").count() == 0
+    # batch analog over the surviving rows matches the streamed sink
+    survivors = spark.read.parquet(f"{tmp_path}/ev/b1").unionByName(
+        spark.read.parquet(f"{tmp_path}/ev/b2").filter("event_id != 101"))
+    batch = windowed_counts(survivors)
+    assert sorted(map(tuple, batch.collect())) == sorted(
+        map(tuple, final.collect()))
