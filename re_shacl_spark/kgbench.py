@@ -2069,10 +2069,37 @@ SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
 WHERE {_HASH64.format(key="d.doc_id::varchar")} < (r.rate * {16**15})::BIGINT"""
 
 
+def q_corpus_decontaminate(spark, sf_dir):
+    """Train/test decontamination: distinct 3-gram overlap of each corpus doc
+    with a benchmark slice (every 50th doc) — broadcast benchmark-shingle
+    probe, map-side semi-join, the corpus never shuffles
+    (ops/dedup.contamination_hits)."""
+    d = _read(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    rest = d.filter(F.col("doc_id") % 50 != 0)
+    return D.contamination_hits(rest, bench, n=3)
+
+
+SQL_CORPUS_DECON = f"""WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 50 != 0),
+{_SQL_SHINGLES},
+bdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+bnorm AS (SELECT doc_id, {_SQL_NORM} t FROM bdocs),
+bw AS (SELECT doc_id, string_split(t, ' ') w FROM bnorm),
+bix AS (SELECT doc_id, w, unnest(generate_series(0, greatest(len(w)-3, 0))) i FROM bw),
+bsh AS (SELECT DISTINCT array_to_string(w[i+1:i+3], ' ') sh FROM bix
+        WHERE len(array_to_string(w[i+1:i+3], ' ')) > 0)
+SELECT sh.doc_id, count(*)::BIGINT AS n_hits
+FROM sh JOIN bsh USING (sh)
+GROUP BY sh.doc_id"""
+
+
 QUERIES["corpus_hash_sample"] = q_corpus_hash_sample
 QUERIES["corpus_stratified"] = q_corpus_stratified
 QUERIES["corpus_pack"] = q_corpus_pack
 QUERIES["corpus_mixture"] = q_corpus_mixture
+QUERIES["corpus_decontaminate"] = q_corpus_decontaminate
+ORACLES["corpus_decontaminate"] = SQL_CORPUS_DECON
 ORACLES["corpus_hash_sample"] = SQL_CORPUS_HASH_SAMPLE
 ORACLES["corpus_stratified"] = SQL_CORPUS_STRATIFIED
 ORACLES["corpus_pack"] = SQL_CORPUS_PACK
@@ -3248,6 +3275,7 @@ _EVIDENCE_PRIORITY = [
     "corpus_stratified",
     "corpus_pack",
     "corpus_mixture",
+    "corpus_decontaminate",
     # round-2 queries absent from CORRECTNESS_r01/r02 (VERDICT r2, next #1)
     "v_shape30_report",
     "v_lubm_schema1",

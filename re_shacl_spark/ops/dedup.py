@@ -333,3 +333,49 @@ def near_dup_clusters(docs: DataFrame, min_matching: int = 1) -> DataFrame:
         F.col("member").cast("bigint").alias("doc_id"),
         F.col("rep").cast("bigint").alias("keep_id"),
     )
+
+
+def contamination_hits(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Per-document count of distinct ``n``-word shingles shared with a
+    benchmark (eval-suite) corpus — train/test decontamination, the corpus-
+    hygiene step every pretraining build runs AFTER dedup (a document can be
+    unique in the corpus and still quote the test set).
+
+    Scale shape: the benchmark shingle set is eval-suite-sized (thousands of
+    documents, not billions), so it is broadcast and the probe is one
+    map-side semi-join over the corpus's exploded shingles — the corpus never
+    shuffles; the hit aggregation sees only matching (doc, shingle) rows.
+    Doc shingles are set-deduplicated (ops.dedup._shingles), so ``count(*)``
+    is the distinct-shingle overlap."""
+    bench = benchmark.select(
+        F.explode(_shingles(text_col, n)).alias("sh")
+    ).distinct()
+    doc_sh = docs.select("doc_id", F.explode(_shingles(text_col, n)).alias("sh"))
+    return (
+        doc_sh.join(F.broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Drop documents whose distinct ``n``-gram overlap with the benchmark
+    reaches ``min_hits`` — one broadcast probe + one left-anti join; the
+    surviving corpus keeps its schema."""
+    bad = (
+        contamination_hits(docs, benchmark, text_col, n)
+        .filter(F.col("n_hits") >= min_hits)
+        .select("doc_id")
+    )
+    return docs.join(bad, "doc_id", "left_anti")

@@ -323,3 +323,26 @@ def test_mixture_sample_flattens_toward_uniform(spark):
     a = {r.doc_id for r in out.collect()}
     b = {r.doc_id for r in SMP.mixture_sample(d.repartition(9), 0.0).collect()}
     assert a == b
+
+
+def test_decontamination(spark):
+    from re_shacl_spark.ops import dedup as D2
+
+    docs = _docs(spark, [
+        "the quick brown fox jumps over the lazy dog",   # quotes bench 5-gram
+        "completely unrelated text about engines",
+        "the quick brown fox appears here too",          # only a 4-gram prefix
+    ])
+    bench = spark.createDataFrame(
+        [(100, "watch the quick brown fox jumps over everything")],
+        ["doc_id", "text"])
+    hits = {r.doc_id: r.n_hits for r in
+            D2.contamination_hits(docs, bench, n=5).collect()}
+    assert 0 in hits and hits[0] >= 1          # shares 'the quick brown fox jumps' + more
+    assert 1 not in hits and 2 not in hits     # 4-gram prefix is NOT a 5-gram hit
+    survivors = {r.doc_id for r in D2.decontaminate(docs, bench, n=5).collect()}
+    assert survivors == {1, 2}
+    # min_hits raises the bar
+    all_kept = {r.doc_id for r in
+                D2.decontaminate(docs, bench, n=5, min_hits=10).collect()}
+    assert all_kept == {0, 1, 2}
