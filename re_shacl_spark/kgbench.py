@@ -2098,8 +2098,38 @@ QUERIES["corpus_hash_sample"] = q_corpus_hash_sample
 QUERIES["corpus_stratified"] = q_corpus_stratified
 QUERIES["corpus_pack"] = q_corpus_pack
 QUERIES["corpus_mixture"] = q_corpus_mixture
+def q_corpus_quality_calibration(spark, sf_dir):
+    """Per-source quality-threshold calibration: EXACT p10/p50/p90 of the
+    quality score per source (F.percentile — bit-parity with DuckDB
+    quantile_cont on identical inputs, verified; outputs rounded 6dp as the
+    ulp guard).  The shape a corpus build uses to pick per-domain filter
+    cutoffs; one shuffle on |sources|."""
+    d = _read(spark, sf_dir, "documents")
+    q = TS.quality_score(d).select("doc_id", "quality").join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+    return q.groupBy("source").agg(
+        F.round(F.percentile("quality", 0.1), 6).alias("p10"),
+        F.round(F.percentile("quality", 0.5), 6).alias("p50"),
+        F.round(F.percentile("quality", 0.9), 6).alias("p90"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+SQL_CORPUS_QUALITY_CAL = f"""WITH qual AS ({SQL_TEXT_QUALITY})
+SELECT d.source,
+       round(quantile_cont(q.quality, 0.1), 6) AS p10,
+       round(quantile_cont(q.quality, 0.5), 6) AS p50,
+       round(quantile_cont(q.quality, 0.9), 6) AS p90,
+       count(*)::BIGINT AS n_docs
+FROM qual q JOIN documents d USING (doc_id)
+GROUP BY d.source"""
+
+
 QUERIES["corpus_decontaminate"] = q_corpus_decontaminate
+QUERIES["corpus_quality_calibration"] = q_corpus_quality_calibration
 ORACLES["corpus_decontaminate"] = SQL_CORPUS_DECON
+ORACLES["corpus_quality_calibration"] = SQL_CORPUS_QUALITY_CAL
 ORACLES["corpus_hash_sample"] = SQL_CORPUS_HASH_SAMPLE
 ORACLES["corpus_stratified"] = SQL_CORPUS_STRATIFIED
 ORACLES["corpus_pack"] = SQL_CORPUS_PACK
@@ -3276,6 +3306,7 @@ _EVIDENCE_PRIORITY = [
     "corpus_pack",
     "corpus_mixture",
     "corpus_decontaminate",
+    "corpus_quality_calibration",
     # round-2 queries absent from CORRECTNESS_r01/r02 (VERDICT r2, next #1)
     "v_shape30_report",
     "v_lubm_schema1",
