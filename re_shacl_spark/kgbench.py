@@ -20,7 +20,7 @@ canonicalize/cc, validate/engine) — this module only wires them to the data.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from re_shacl_spark.canonicalize.cc import connected_components
@@ -459,6 +459,52 @@ def q_a1_graph_size(spark, sf_dir):
 
 SQL_A1 = f"""WITH {REL_TRIPLES_CTE.strip()}
 SELECT count(*)::BIGINT AS n_triples FROM (SELECT DISTINCT s, p, o FROM base) d"""
+
+
+def q_kg_degree_topk(spark, sf_dir):
+    """Hub-degree top-20: out/in/total degree per node with a deterministic
+    node-id tiebreak — the skew diagnosis an operator runs before picking
+    salting thresholds (canonicalize/cc.py) and AQE skew-join settings.
+    Two partial-agg shuffles (out by s, in by o resources) + a full outer
+    merge + one rank window over the already-aggregated node set."""
+    t = _spo(rel_triples(spark, sf_dir))
+    out_d = t.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    in_d = (
+        t.filter(~F.col("o").rlike("^[0-9]"))  # resources only in this KG
+        .groupBy(F.col("o").alias("node"))
+        .agg(F.count(F.lit(1)).alias("in_deg"))
+    )
+    deg = (
+        out_d.join(in_d, "node", "full_outer")
+        .select(
+            "node",
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+        )
+        .withColumn("total_deg", F.col("out_deg") + F.col("in_deg"))
+    )
+    # top-k via orderBy+limit (TakeOrdered — per-partition heaps, no global
+    # single-partition window over the node set); rank the 20 survivors only
+    top = deg.orderBy(F.desc("total_deg"), F.asc("node")).limit(20)
+    w = Window.orderBy(F.desc("total_deg"), F.asc("node"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+SQL_KG_DEGREE = f"""WITH {REL_TRIPLES_CTE.strip()},
+d AS (SELECT DISTINCT s, p, o FROM base),
+outd AS (SELECT s AS node, count(*)::BIGINT out_deg FROM d GROUP BY s),
+ind AS (SELECT o AS node, count(*)::BIGINT in_deg FROM d
+        WHERE NOT regexp_matches(o, '^[0-9]') GROUP BY o),
+deg AS (
+  SELECT coalesce(outd.node, ind.node) AS node,
+         coalesce(out_deg, 0)::BIGINT AS out_deg,
+         coalesce(in_deg, 0)::BIGINT AS in_deg,
+         (coalesce(out_deg, 0) + coalesce(in_deg, 0))::BIGINT AS total_deg
+  FROM outd FULL OUTER JOIN ind ON outd.node = ind.node),
+r AS (SELECT *, row_number() OVER (ORDER BY total_deg DESC, node) AS rank FROM deg)
+SELECT node, out_deg, in_deg, total_deg, rank::BIGINT AS rank FROM r WHERE rank <= 20"""
 
 
 # ---------------------------------------------------------------------------
@@ -1360,6 +1406,8 @@ SELECT DISTINCT s, p, o FROM fused WHERE s NOT IN (SELECT pid FROM viol)"""
 
 
 QUERIES["kg_pipeline_e2e"] = q_kg_pipeline_e2e
+QUERIES["kg_degree_topk"] = q_kg_degree_topk
+ORACLES["kg_degree_topk"] = SQL_KG_DEGREE
 ORACLES["kg_pipeline_e2e"] = SQL_KG_E2E
 QUERIES["text_repetition"] = q_text_repetition
 ORACLES["text_repetition"] = SQL_TEXT_REPETITION
@@ -3307,6 +3355,7 @@ _EVIDENCE_PRIORITY = [
     "corpus_mixture",
     "corpus_decontaminate",
     "corpus_quality_calibration",
+    "kg_degree_topk",
     # round-2 queries absent from CORRECTNESS_r01/r02 (VERDICT r2, next #1)
     "v_shape30_report",
     "v_lubm_schema1",
