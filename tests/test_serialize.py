@@ -91,3 +91,45 @@ def test_read_malformed_lines_error_and_drop(spark, tmp_path):
         read_ntriples(spark, path).collect()
     kept = read_ntriples(spark, path, on_malformed="drop").collect()
     assert [(r.s, r.p, r.o) for r in kept] == [("http://x/a", "http://x/p", "http://x/b")]
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(
+            # full printable ASCII + the escape-relevant controls + some unicode
+            alphabet=st.characters(
+                whitelist_categories=("L", "N", "P", "S", "Z"),
+                whitelist_characters='\n\r\t"\\',
+            ),
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_literal_roundtrip_fuzz(spark, tmp_path, texts):
+    """Any literal string survives write → read byte-for-byte (escape and
+    unescape are inverses, including pathological backslash runs)."""
+    import shutil
+
+    from re_shacl_spark.model.triples import lit_triple, triples_df
+
+    rows = [lit_triple(f"http://x.org/s{i}", "http://x.org/p", t)
+            for i, t in enumerate(texts)]
+    df = triples_df(spark, rows)
+    path = str(tmp_path / "fuzz.nt")
+    shutil.rmtree(path, ignore_errors=True)
+    back = _roundtrip(spark, df, tmp_path, "fuzz.nt")
+    got = {(r.s, r.o) for r in back.collect()}
+    want = {(f"http://x.org/s{i}", t) for i, t in enumerate(texts)}
+    assert got == want
