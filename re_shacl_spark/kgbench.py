@@ -1978,8 +1978,77 @@ SELECT epoch(h)::BIGINT AS win_start, event_type, n_events, sum_cents,
 FROM agg"""
 
 
+_EVENT_SEVERITY = [
+    ("click", 1, "low"),
+    ("view", 1, "low"),
+    ("signup", 5, "high"),
+    ("purchase", 10, "high"),
+    ("error", 3, "medium"),
+]
+
+
+def q_stream_enrich(spark, sf_dir):
+    """Stream-static broadcast enrichment (streaming/incremental.py::
+    enrich_stream): the event stream joins a severity/weight dimension per
+    micro-batch (static side broadcast, stream side never shuffles), filters
+    to high-severity, and appends weighted integer cents — stateless, so no
+    watermark/state store.  One AvailableNow drain; oracle = the same join
+    in SQL."""
+    import tempfile
+
+    from re_shacl_spark.streaming.incremental import enrich_stream
+    from re_shacl_spark.streaming.windows import EVENT_SCHEMA
+
+    import os
+
+    base = tempfile.mkdtemp(prefix="re_shacl_enr_")
+    out_dir, ckpt = f"{base}/out", f"{base}/ckpt"
+    # the file source wants a directory: symlink the read-only parquet in
+    os.makedirs(f"{base}/ev")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"), f"{base}/ev/events.parquet"
+    )
+    dim = spark.createDataFrame(
+        _EVENT_SEVERITY, "event_type string, weight int, severity string"
+    )
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(f"{base}/ev")
+    enriched = (
+        enrich_stream(stream, dim)
+        .filter(F.col("severity") == "high")
+        .select(
+            "event_id",
+            "event_type",
+            "severity",
+            (F.round(F.col("value") * 100).cast("long") * F.col("weight")).alias(
+                "weighted_cents"
+            ),
+        )
+    )
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
+SQL_STREAM_ENRICH = """WITH dim(event_type, weight, severity) AS (
+  VALUES ('click', 1, 'low'), ('view', 1, 'low'), ('signup', 5, 'high'),
+         ('purchase', 10, 'high'), ('error', 3, 'medium'))
+SELECT e.event_id, e.event_type, d.severity,
+       (round(e.value * 100))::BIGINT * d.weight AS weighted_cents
+FROM events e JOIN dim d USING (event_type)
+WHERE d.severity = 'high'"""
+
+
 QUERIES["stream_window"] = q_stream_window
+QUERIES["stream_enrich"] = q_stream_enrich
 ORACLES["stream_window"] = SQL_STREAM_WINDOW
+ORACLES["stream_enrich"] = SQL_STREAM_ENRICH
 
 
 # ---------------------------------------------------------------------------
@@ -2174,10 +2243,54 @@ FROM qual q JOIN documents d USING (doc_id)
 GROUP BY d.source"""
 
 
+def q_corpus_quality_sketch_gate(spark, sf_dir):
+    """The SKETCH path for percentile calibration, quantitatively gated
+    against the exact path (same pattern as sim_lsh_recall): at 100 TB the
+    exact per-key sort is replaced by `percentile_approx` — Spark's
+    Greenwald-Khanna-style mergeable summary, bounded memory per group,
+    partial-aggregable — and this query asserts per-source |approx − exact|
+    ≤ 0.05 for p10/p90 (measured 0.020/0.007 at sf0.01), raising on drift.
+    The oracle pins exact values and the always-true gate flags."""
+    d = _read(spark, sf_dir, "documents")
+    q = TS.quality_score(d).select("doc_id", "quality").join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+    agg = q.groupBy("source").agg(
+        F.percentile("quality", 0.1).alias("e10"),
+        F.percentile_approx("quality", 0.1, 10000).alias("a10"),
+        F.percentile("quality", 0.9).alias("e90"),
+        F.percentile_approx("quality", 0.9, 10000).alias("a90"),
+    )
+    bad = agg.filter(
+        (F.abs(F.col("a10") - F.col("e10")) > 0.05)
+        | (F.abs(F.col("a90") - F.col("e90")) > 0.05)
+    ).collect()
+    if bad:
+        raise AssertionError(f"percentile sketch drift > 0.05: {bad[:3]}")
+    return agg.select(
+        "source",
+        F.round("e10", 6).alias("p10_exact"),
+        F.round("e90", 6).alias("p90_exact"),
+        (F.abs(F.col("a10") - F.col("e10")) <= 0.05).alias("p10_within_tol"),
+        (F.abs(F.col("a90") - F.col("e90")) <= 0.05).alias("p90_within_tol"),
+    )
+
+
+SQL_CORPUS_SKETCH_GATE = f"""WITH qual AS ({SQL_TEXT_QUALITY})
+SELECT d.source,
+       round(quantile_cont(q.quality, 0.1), 6) AS p10_exact,
+       round(quantile_cont(q.quality, 0.9), 6) AS p90_exact,
+       true AS p10_within_tol, true AS p90_within_tol
+FROM qual q JOIN documents d USING (doc_id)
+GROUP BY d.source"""
+
+
 QUERIES["corpus_decontaminate"] = q_corpus_decontaminate
 QUERIES["corpus_quality_calibration"] = q_corpus_quality_calibration
+QUERIES["corpus_quality_sketch_gate"] = q_corpus_quality_sketch_gate
 ORACLES["corpus_decontaminate"] = SQL_CORPUS_DECON
 ORACLES["corpus_quality_calibration"] = SQL_CORPUS_QUALITY_CAL
+ORACLES["corpus_quality_sketch_gate"] = SQL_CORPUS_SKETCH_GATE
 ORACLES["corpus_hash_sample"] = SQL_CORPUS_HASH_SAMPLE
 ORACLES["corpus_stratified"] = SQL_CORPUS_STRATIFIED
 ORACLES["corpus_pack"] = SQL_CORPUS_PACK
@@ -3349,12 +3462,14 @@ _EVIDENCE_PRIORITY = [
     "bgp_ask",
     "describe_node",
     "stream_window",
+    "stream_enrich",
     "corpus_hash_sample",
     "corpus_stratified",
     "corpus_pack",
     "corpus_mixture",
     "corpus_decontaminate",
     "corpus_quality_calibration",
+    "corpus_quality_sketch_gate",
     "kg_degree_topk",
     # round-2 queries absent from CORRECTNESS_r01/r02 (VERDICT r2, next #1)
     "v_shape30_report",
