@@ -161,3 +161,35 @@ def test_windowed_agg_late_data_semantics(spark, tmp_path):
     batch = windowed_counts(survivors)
     assert sorted(map(tuple, batch.collect())) == sorted(
         map(tuple, final.collect()))
+
+
+def test_stream_enrich_dim_refresh_between_drains(spark, tmp_path):
+    """Stream-static broadcast join: each drain re-reads the file-backed
+    dimension, so rows ingested after a dim update carry the new attributes
+    while earlier sink rows keep the ones they were enriched with."""
+    from re_shacl_spark.streaming.incremental import enrich_stream
+
+    ev_schema = "event_id long, event_type string"
+    dim_dir = f"{tmp_path}/dim"
+    ev_dir, out, ck = f"{tmp_path}/ev", f"{tmp_path}/out", f"{tmp_path}/ck"
+
+    def drain():
+        stream = spark.readStream.schema(ev_schema).parquet(ev_dir + "/*")
+        dim = spark.read.parquet(dim_dir)
+        q = (enrich_stream(stream, dim)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ck).outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    spark.createDataFrame([("a", 1)], "event_type string, weight int") \
+        .write.parquet(dim_dir, mode="overwrite")
+    spark.createDataFrame([(1, "a")], ev_schema).write.parquet(f"{ev_dir}/b1")
+    drain()
+    # dim update: weight 1 -> 9; only the new increment sees it
+    spark.createDataFrame([("a", 9)], "event_type string, weight int") \
+        .write.parquet(dim_dir, mode="overwrite")
+    spark.createDataFrame([(2, "a")], ev_schema).write.parquet(f"{ev_dir}/b2")
+    drain()
+    got = {(r.event_id, r.weight) for r in spark.read.parquet(out).collect()}
+    assert got == {(1, 1), (2, 9)}
