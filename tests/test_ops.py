@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from re_shacl_spark.ops import dedup as D
@@ -42,15 +43,46 @@ def test_simhash_hamming(spark):
 def test_ngram_jaccard_exact_value(spark):
     # doc0: shingles {a b c, b c d}; doc1: {a b c}; J = 1/2
     d = _docs(spark, ["a b c d", "a b c"])
-    got = {(r.id_a, r.id_b): r.jaccard for r in D.ngram_jaccard_pairs(d, threshold=0.4).collect()}
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in D.ngram_jaccard_pairs(d, threshold=0.4, candidates="index").collect()}
     assert got == {(0, 1): 0.5}
 
 
 def test_ngram_jaccard_max_df_prunes(spark):
     d = _docs(spark, ["s t o p" for _ in range(5)] + ["u v w x"])
     # every shingle of the first five appears in 5 docs; cap at 2 removes them
-    got = D.ngram_jaccard_pairs(d, threshold=0.1, max_df=2).collect()
+    got = D.ngram_jaccard_pairs(d, threshold=0.1, candidates="index", max_df=2).collect()
     assert got == []
+
+
+def test_ngram_jaccard_default_is_lsh_bounded(spark):
+    # VERDICT r3 #4 regression: the DEFAULT path must survive a corpus where
+    # EVERY doc shares one hot shingle — the inverted index would emit n²
+    # join rows on it; the LSH path's joins are band-signature equi-joins.
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    hot = [f"w{i} x{i} common hot shingle y{i} z{i}" for i in range(40)]
+    d = _docs(spark, [base, base + " tail", base] + hot)
+    got = {(r.id_a, r.id_b): r.jaccard for r in D.ngram_jaccard_pairs(d, threshold=0.8).collect()}
+    assert (0, 2) in got and got[(0, 2)] == 1.0   # identical pair found, exact J
+    # the hot shingle alone (J = 1/6 per hot pair) must not flood the output
+    assert all(j >= 0.8 for j in got.values())
+    # and the exact Jaccard the default reports equals the index path's value
+    idx = {(r.id_a, r.id_b): r.jaccard
+           for r in D.ngram_jaccard_pairs(d, threshold=0.8, candidates="index", max_df=None).collect()}
+    assert got == idx  # at J≥0.8 the 8/4 banding has ~98%+ recall; these are exact dups
+    with pytest.raises(ValueError):
+        D.ngram_jaccard_pairs(d, candidates="nope")
+
+
+def test_exact_dedup_hot_group_pair_rows(spark):
+    # VERDICT r3 #5 regression: a hot duplicate group comes back as PAIR ROWS
+    # (keep_id, dup_id), never as one collected id array.
+    n = 500
+    d = _docs(spark, ["same text every time"] * n + ["unique snowflake"])
+    rows = D.exact_dedup(d).collect()
+    assert len(rows) == n - 1
+    assert {r.keep_id for r in rows} == {0}
+    assert {r.dup_id for r in rows} == set(range(1, n))
 
 
 def test_embedding_near_dups_cosine(spark):
