@@ -25,13 +25,20 @@ BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
 def tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Whitespace + BPE-ish token counts per document."""
+    """Whitespace + BPE-ish token counts per document.
+
+    Counts are emitted as ``long``: every downstream consumer (the packing
+    prefix sum in ops/sampling.pack_sequences, decontamination joins, the
+    DuckDB oracles' ``::BIGINT``) operates in 64-bit, and a 10^12-doc corpus
+    sums past int32 long before it sums past int64.  Keeping the narrow int
+    here put an int32 on the oracle-comparison boundary (the r3
+    ``corpus_pack`` hash mismatch)."""
     t = F.coalesce(F.col(text_col), F.lit(""))
     return df.select(
         "doc_id",
-        F.size(F.split(F.trim(t), TOKEN_SPLIT)).alias("ws_tokens"),
-        F.size(F.regexp_extract_all(t, F.lit(BPE_ISH), 0)).alias("bpe_tokens"),
-        F.length(t).alias("chars"),
+        F.size(F.split(F.trim(t), TOKEN_SPLIT)).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(BPE_ISH), 0)).cast("long").alias("bpe_tokens"),
+        F.length(t).cast("long").alias("chars"),
     )
 
 
