@@ -211,13 +211,67 @@ def sample_frames(assets: DataFrame, every: int = 2, strict: bool = False) -> Da
     return assets.filter("kind = 'video'").mapInPandas(run, FRAME_SCHEMA)
 
 
-def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
-    """Real resize needs PIL — absent in this container, so this surface is an
-    explicit stub (the brief's mandated NotImplementedError gate); with PIL
-    installed it would mirror image_features' mapInPandas shape."""
-    if not _HAVE_PIL:
-        raise NotImplementedError(
-            "resize requires PIL, which is not installed here; the decode/feature "
-            "path (image_features) demonstrates the identical mapInPandas plumbing"
-        )
-    raise NotImplementedError("PIL resize path not wired yet")
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_px", T.DoubleType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    assets: DataFrame, width: int, height: int, strict: bool = False
+) -> DataFrame:
+    """Nearest-neighbor resize to (width, height), pure numpy inside the
+    Arrow batch (VERDICT r3 #8 — no codec needed): output pixel (x, y) is
+    input pixel (x*w_in // width, y*h_in // height), one fancy-index per
+    image, re-encoded as a fresh IMG0 payload.  PIL, when present, is used
+    only to DECODE real codecs to a gray array; the resize math is always
+    this one deterministic implementation so results (and the DuckDB mirror)
+    never depend on a library's filter kernel."""
+    if width < 1 or height < 1:
+        raise ValueError(f"target size must be positive, got {width}x{height}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for aid, payload in zip(b["asset_id"], b["payload"]):
+                if payload is None:
+                    continue
+                raw = bytes(payload)
+                if raw[:4] == b"IMG0":
+                    w, h = struct.unpack("<HH", raw[4:8])
+                    px = np.frombuffer(raw[8 : 8 + w * h], dtype=np.uint8).reshape(h, w)
+                elif _HAVE_PIL:
+                    import io
+
+                    im = Image.open(io.BytesIO(raw)).convert("L")
+                    w, h = im.size
+                    px = np.asarray(im, dtype=np.uint8)
+                elif strict:
+                    raise NotImplementedError(
+                        "real image codecs unavailable in this container (no PIL); "
+                        "payload is not the synthetic IMG0 format"
+                    )
+                else:
+                    continue
+                sy = (np.arange(height, dtype=np.int64) * h) // height
+                sx = (np.arange(width, dtype=np.int64) * w) // width
+                rz = px[np.ix_(sy, sx)]
+                out.append(
+                    (
+                        int(aid),
+                        int(width),
+                        int(height),
+                        float(rz.mean()),
+                        b"IMG0" + struct.pack("<HH", width, height) + rz.tobytes(),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["asset_id", "width", "height", "mean_px", "payload"]
+            )
+
+    return assets.filter("kind = 'image'").mapInPandas(run, RESIZED_SCHEMA)
