@@ -444,11 +444,19 @@ def fuse_expand(
     triples: DataFrame,
     max_rounds: int = MAX_ROUNDS,
     cc_salts: int = 8,
+    profile: str = "owl",
 ) -> FusionResult:
     """Expansion-semantics fixpoint: rules + sameAs materialization + component
     copy-through, no canonicalization.  The final graph equals the naive
     oracle's pre-quotient closure; its size blowup vs fuse() is the A1-style
-    ablation metric (merging beats materialization)."""
+    ablation metric (merging beats materialization).
+
+    ``profile="rdfs"`` completes the reference's 2×2 method matrix
+    (merge?, owl-vs-rdfs): the rdfs×withoutM arm
+    (ReSHACL/re_shacl_rdfs_withoutM.py:127-145, 634-786 — rules
+    rdfs2/3/5/7/9 only, owl:sameAs uninterpreted, no merging).  Under RDFS
+    the engine derives no sameAs edges, so the component copy-through below
+    is structurally dead and the loop is a pure linear-rule expansion."""
     ensure_fixpoint_confs(spark)
     cur = dedup_triples(triples).localCheckpoint(eager=True)
     rep_map: DataFrame | None = None
@@ -457,8 +465,10 @@ def fuse_expand(
     for rounds in range(1, max_rounds + 1):
         # rebuild per round: expansion copies axioms onto new terms
         tbox_rows = extract_tbox(cur)
-        tbox = build_tbox_index(tbox_rows, eq_as_edges=True)
-        engine = RuleEngine(spark, tbox, Scope.unrestricted())
+        tbox = build_tbox_index(
+            tbox_rows, rdfs_mode=profile == "rdfs", eq_as_edges=True
+        )
+        engine = RuleEngine(spark, tbox, Scope.unrestricted(), profile=profile)
 
         derived = engine.derive_all(cur)
         closure_rows = [
