@@ -56,6 +56,39 @@ def _affected_foci(
         )
         .distinct()
     )
+    # sh:class widening: a focus verdict depends on the TYPES of its values,
+    # so a delta (v, rdf:type, c) row changes foci pointing at v through any
+    # class-constrained path (base constraint or any or/and/xone branch or
+    # qualifiedValueShape — _sub_pcs covers them all) even though no edge of
+    # those foci changed.  One reverse hop over the class paths seeded from
+    # the delta's rdf:type SUBJECTS; the sh:node loop below then propagates
+    # the widening up the reference DAG.  (Other value-facets — datatype,
+    # nodeKind, pattern, range — are value-intrinsic: an additive delta can
+    # only change them by adding an edge, which marks the focus directly.)
+    _RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    class_paths = [
+        (pc.path, pc.inverse)
+        for ns in shapes
+        for pc in _all_pcs(ns)
+        if isinstance(pc.path, str) and any(x.clazz for x in _sub_pcs(pc))
+    ]
+    if class_paths:
+        typed = delta.filter(F.col("p") == _RDF_TYPE).select(
+            F.col("s").alias("node")
+        ).distinct()
+        hops = []
+        for path, inverse in class_paths:
+            e = full.filter(F.col("p") == path)
+            src, dst = ("o", "s") if not inverse else ("s", "o")
+            hops.append(
+                e.join(
+                    typed.withColumnRenamed("node", src), src, "left_semi"
+                ).select(F.col(dst).alias("node"))
+            )
+        widened = hops[0]
+        for h in hops[1:]:
+            widened = widened.unionByName(h)
+        base_nodes = base_nodes.unionByName(widened).distinct()
     # sh:node widening: referencing paths walked backwards, once per ref level
     ref_paths: list[tuple[str, bool]] = []
     depth = 0

@@ -524,6 +524,57 @@ def test_validate_delta_node_ref_widening(spark):
     assert inc.conforms
 
 
+def test_validate_delta_class_widening(spark):
+    # ADVICE r3 (high): a delta rdf:type triple on a VALUE node must
+    # invalidate foci with sh:class constraints on that value even though no
+    # edge of the focus changed.
+    from re_shacl_spark.validate.incremental import validate_delta
+
+    # f -knows-> v ; S requires values at knows to be of class Person.
+    # base: v untyped -> f violates sh:class.  delta adds (v, rdf:type,
+    # Person) — f is neither delta subject nor object.
+    base = triples_df(spark, [
+        iri_triple(EX + "f", vocab.TYPE, EX + "Person"),
+        iri_triple(EX + "f", EX + "knows", EX + "v"),
+    ])
+    shapes = [NodeShape("S", target_classes=[EX + "Person"], properties=[
+        PropertyConstraint(path=EX + "knows", clazz=EX + "Person"),
+    ])]
+    base_rep = validate(spark, base, shapes)
+    assert not base_rep.conforms
+    delta = triples_df(spark, [iri_triple(EX + "v", vocab.TYPE, EX + "Person")])
+    inc = validate_delta(spark, base, delta, shapes, base_rep)
+    full = validate(spark, base.unionByName(delta), shapes)
+    assert {tuple(r) for r in inc.violations.collect()} == \
+        {tuple(r) for r in full.violations.collect()}
+    # v itself became a (conforming) focus; f's stale sh:class row is gone
+    assert inc.conforms
+
+
+def test_validate_delta_qualified_class_widening(spark):
+    # same, with the class constraint buried in a qualifiedValueShape branch
+    from re_shacl_spark.validate.incremental import validate_delta
+
+    base = triples_df(spark, [
+        iri_triple(EX + "f", vocab.TYPE, EX + "Team"),
+        iri_triple(EX + "f", EX + "member", EX + "v"),
+        iri_triple(EX + "v", vocab.TYPE, EX + "Team"),  # keeps v a non-focus of the q-shape
+    ])
+    shapes = [NodeShape("S", target_classes=[EX + "Team"], properties=[
+        PropertyConstraint(
+            path=EX + "member",
+            qualified=PropertyConstraint(clazz=EX + "Lead"),
+            q_min_count=1,
+        ),
+    ])]
+    base_rep = validate(spark, base, shapes)
+    delta = triples_df(spark, [iri_triple(EX + "v", vocab.TYPE, EX + "Lead")])
+    inc = validate_delta(spark, base, delta, shapes, base_rep)
+    full = validate(spark, base.unionByName(delta), shapes)
+    assert {tuple(r) for r in inc.violations.collect()} == \
+        {tuple(r) for r in full.violations.collect()}
+
+
 def test_validate_delta_fallbacks(spark):
     from re_shacl_spark.query import Path as PathExpr
     from re_shacl_spark.validate.incremental import validate_delta
