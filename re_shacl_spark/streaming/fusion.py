@@ -107,6 +107,25 @@ def _maintained_report(spark, base, res, prev_violations, shapes):
     return validate_delta(spark, old, delta, shapes, prev).violations
 
 
+def _prune_versions(state_dir: str, retain: int = 2) -> None:
+    """Drop superseded state versions (ADVICE r3): every batch writes a full
+    new v{batch_id} (triples + rep_map [+ violations]) and swaps the pointer,
+    so without pruning disk grows O(batches × |graph|) under continuous
+    maintenance.  Only the pointer target and the in-flight write are ever
+    needed for the idempotent-replay contract; ``retain`` keeps the newest 2
+    (current + immediate predecessor) as a cheap operator-error cushion."""
+    import re
+    import shutil
+
+    versions = []
+    for name in os.listdir(state_dir):
+        m = re.fullmatch(r"v(\d+)", name)
+        if m and os.path.isdir(os.path.join(state_dir, name)):
+            versions.append(int(m.group(1)))
+    for bid in sorted(versions)[:-retain] if len(versions) > retain else []:
+        shutil.rmtree(os.path.join(state_dir, f"v{bid}"), ignore_errors=True)
+
+
 def _apply_batch(
     spark: SparkSession,
     state_dir: str,
@@ -134,6 +153,7 @@ def _apply_batch(
         report = _maintained_report(spark, base, res, prev_violations, shapes)
         report.write.mode("overwrite").parquet(os.path.join(vdir, "violations"))
     _write_pointer(state_dir, f"v{batch_id}")
+    _prune_versions(state_dir)
 
 
 def run_streaming_fusion(

@@ -49,6 +49,18 @@ def test_stream_fusion_equals_batch(spark, tmp_path):
     want2 = fuse(spark, triples_df(spark, chunks[0] + chunks[1] + chunks[2]))
     assert _tset(res2.triples) == _tset(want2.triples)
 
+    # superseded state versions are pruned (ADVICE r3): ≥3 batches ran, but
+    # only the newest 2 version dirs remain — disk is O(|graph|), not
+    # O(batches × |graph|)
+    import os
+
+    versions = [d for d in os.listdir(sdir) if d.startswith("v") and d[1:].isdigit()]
+    assert len(versions) <= 2
+    # the pointer target survived the prune
+    from re_shacl_spark.streaming.fusion import _read_pointer
+
+    assert _read_pointer(sdir) in versions
+
     # re-invocation with nothing new: state unchanged
     res3 = run_streaming_fusion(spark, tdir, sdir, ck, max_files=1)
     assert _tset(res3.triples) == _tset(res2.triples)
