@@ -426,7 +426,18 @@ def _path_closure(edges: DataFrame) -> DataFrame:
     for _ in range(32):
         nxt = (
             closure.alias("x")
-            .join(closure.alias("y"), F.col("x.b") == F.col("y.a"))
+            # full TERM identity on the composition key, not just string form
+            # (ADVICE r3): a literal "x" must not continue through an IRI
+            # <x> — same string, different RDF terms.  Literal-mediated
+            # composition stays legal where RDF allows it (inverse steps),
+            # which is why the condition matches is_lit + literal struct
+            # instead of banning literals outright.
+            .join(
+                closure.alias("y"),
+                (F.col("x.b") == F.col("y.a"))
+                & (F.col("x.b_is") == F.col("y.a_is"))
+                & F.col("x.b_lit").eqNullSafe(F.col("y.a_lit")),
+            )
             .select(
                 F.col("x.a").alias("a"), F.col("y.b").alias("b"),
                 F.col("x.a_lit").alias("a_lit"), F.col("x.a_is").alias("a_is"),
@@ -465,8 +476,11 @@ def eval_path(triples: DataFrame, expr, keep_meta: bool = False) -> DataFrame:
     the endpoint pairs as columns (a, b) — plus the terminal value's literal
     metadata (b_lit struct, b_is flag) when ``keep_meta`` is set (the SHACL
     engine needs those to run datatype/language facets on path values).
-    Endpoints join on their string form; a literal whose lexical form equals
-    an IRI is a non-issue in practice but is not disambiguated mid-path."""
+    Composition (sequence / closure) joins on full TERM identity — string
+    form + literal flag + literal struct — so a literal whose lexical form
+    equals an IRI never continues a path through it (reference rdflib
+    term-identity semantics); literal-mediated hops remain possible where RDF
+    permits them (an inverse step whose object is that literal)."""
     ast = parse_path(expr) if isinstance(expr, str) else expr
     lit_t = triples.schema["o_lit"].dataType
     null_lit = F.lit(None).cast(lit_t)
@@ -491,7 +505,13 @@ def eval_path(triples: DataFrame, expr, keep_meta: bool = False) -> DataFrame:
                 nxt = ev(sub)
                 out = (
                     out.alias("l")
-                    .join(nxt.alias("r"), F.col("l.b") == F.col("r.a"))
+                    # term-identity composition key — see _path_closure
+                    .join(
+                        nxt.alias("r"),
+                        (F.col("l.b") == F.col("r.a"))
+                        & (F.col("l.b_is") == F.col("r.a_is"))
+                        & F.col("l.b_lit").eqNullSafe(F.col("r.a_lit")),
+                    )
                     .select(
                         F.col("l.a").alias("a"), F.col("r.b").alias("b"),
                         F.col("l.a_lit").alias("a_lit"), F.col("l.a_is").alias("a_is"),

@@ -118,6 +118,33 @@ def test_path_eval_ops(spark):
     assert pairs(f"<{n}>*") == idty | pairs(f"<{n}>+")
 
 
+def test_path_term_identity_composition(spark):
+    # ADVICE r3: a literal "…/v" must not continue a sequence path through
+    # the IRI <…/v> (same string form, different RDF terms) — but a
+    # literal-mediated inverse hop (legal RDF: literal as shared OBJECT)
+    # must still compose.
+    from re_shacl_spark.query import eval_path
+
+    v = EX + "v"
+    g = triples_df(spark, [
+        lit_triple(EX + "s1", EX + "p", v),          # s1 -p-> "…/v" (literal)
+        iri_triple(v, EX + "q", EX + "o1"),          # <…/v> -q-> o1
+        lit_triple(EX + "y", EX + "q", v),           # y -q-> "…/v" (literal)
+    ])
+    pairs = lambda e: {tuple(r) for r in eval_path(g, e).collect()}  # noqa: E731
+    # string-form join would fabricate (s1, o1) through the literal/IRI pun
+    assert (EX + "s1", EX + "o1") not in pairs(f"<{EX}p>/<{EX}q>")
+    # inverse composition through the SHARED LITERAL is real
+    assert pairs(f"<{EX}p>/^<{EX}q>") == {(EX + "s1", EX + "y")}
+    # closure: p+ must not hop from the literal into the IRI's out-edges
+    g2 = triples_df(spark, [
+        lit_triple(EX + "s1", EX + "p", v),
+        iri_triple(v, EX + "p", EX + "o1"),
+    ])
+    got = {tuple(r) for r in eval_path(g2, f"<{EX}p>+").collect()}
+    assert (EX + "s1", EX + "o1") not in got
+
+
 def test_path_in_bgp(spark):
     from re_shacl_spark.query import Path
 
