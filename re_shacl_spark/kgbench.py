@@ -905,24 +905,40 @@ SQL_DEDUP_SIMHASH = f"WITH {SQL_DOCS_CTE},\n{_sql_simhash()}"
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    # max_df caps the inverted-index blowup on stopword shingles — the
-    # web-scale knob; sizes stay unfiltered so Jaccard keeps its exact meaning
-    return D.ngram_jaccard_pairs(_docs_with_dups(spark, sf_dir), threshold=0.6, max_df=500)
+    # DEFAULT path (VERDICT r3 #4): exact Jaccard computed only over the
+    # banded-minhash candidate pairs — join rows bounded by LSH bucket
+    # collisions, so a hot shingle can never go quadratic.  The inverted-index
+    # path survives behind candidates='index' (pytest-covered).
+    return D.ngram_jaccard_pairs(_docs_with_dups(spark, sf_dir), threshold=0.6)
 
 
+# oracle mirrors the composition exactly: the SAME banded-minhash candidate
+# join as SQL_DEDUP_LSH (green since r1), then exact Jaccard on those pairs
+# via the inverted index (fine in DuckDB at oracle scale).
 SQL_DEDUP_JACCARD = f"""WITH {SQL_DOCS_CTE},
 {_SQL_SHINGLES},
+sig AS (SELECT d.doc_id, {_sql_minhash_aggs()}
+        FROM docs d LEFT JOIN hh ON d.doc_id = hh.doc_id GROUP BY d.doc_id),
+cands AS (
+  SELECT a.doc_id id_a, b.doc_id id_b FROM sig a JOIN sig b ON a.mh0 = b.mh0 AND a.mh1 = b.mh1 AND a.doc_id < b.doc_id
+  UNION
+  SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b ON a.mh2 = b.mh2 AND a.mh3 = b.mh3 AND a.doc_id < b.doc_id
+  UNION
+  SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b ON a.mh4 = b.mh4 AND a.mh5 = b.mh5 AND a.doc_id < b.doc_id
+  UNION
+  SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b ON a.mh6 = b.mh6 AND a.mh7 = b.mh7 AND a.doc_id < b.doc_id
+),
 sizes AS (SELECT doc_id, count(*) sz FROM sh GROUP BY doc_id),
-rare AS (SELECT sh FROM (SELECT sh, count(*) df FROM sh GROUP BY sh) WHERE df <= 500),
-shf AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare USING(sh)),
 common AS (
   SELECT a.doc_id id_a, b.doc_id id_b, count(*) common
-  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
-SELECT c.id_a, c.id_b, round(c.common / (sa.sz + sb.sz - c.common), 6) AS jaccard
-FROM common c JOIN sizes sa ON c.id_a = sa.doc_id JOIN sizes sb ON c.id_b = sb.doc_id
-WHERE round(c.common / (sa.sz + sb.sz - c.common), 6) >= 0.6"""
+SELECT c.id_a, c.id_b, round(cm.common / (sa.sz + sb.sz - cm.common), 6) AS jaccard
+FROM cands c
+JOIN common cm ON c.id_a = cm.id_a AND c.id_b = cm.id_b
+JOIN sizes sa ON c.id_a = sa.doc_id JOIN sizes sb ON c.id_b = sb.doc_id
+WHERE round(cm.common / (sa.sz + sb.sz - cm.common), 6) >= 0.6"""
 
 
 def q_sim_topk(spark, sf_dir):
@@ -1321,6 +1337,28 @@ def q_mm_audio_stats(spark, sf_dir):
     return a.select("asset_id", "sample_rate", "n_samples", F.round("rms", 6).alias("rms"), "peak")
 
 
+def q_mm_resize(spark, sf_dir):
+    """Multimodal: nearest-neighbor resize to 10×6 (VERDICT r3 #8 — the
+    former stub, now pure-numpy NN inside the Arrow batch).  Output pixel
+    (x, y) reads input pixel (x*w//10, y*h//6), so the mean over the resized
+    grid is closed-form integer math DuckDB reproduces exactly; the payload
+    bytes are pinned in tests/test_multimodal.py."""
+    from re_shacl_spark.ops import multimodal as MM
+
+    r = MM.resize_images(MM.synth_assets(spark, 300), 10, 6)
+    return r.select("asset_id", "width", "height", F.round("mean_px", 6).alias("mean_px"))
+
+
+SQL_MM_RESIZE = """WITH ids AS (SELECT i FROM range(300) t(i) WHERE i % 3 = 0),
+dims AS (SELECT i, (8 + (i % 5) * 4)::BIGINT w, (8 + (i % 3) * 4)::BIGINT h FROM ids),
+vals AS (
+  SELECT d.i, ((((x.x * d.w) // 10) * 31 + ((y.y * d.h) // 6) * 17 + d.i) % 251) v
+  FROM dims d, range(0,10) x(x), range(0,6) y(y)
+)
+SELECT i AS asset_id, 10::INT AS width, 6::INT AS height, round(avg(v), 6) AS mean_px
+FROM vals GROUP BY 1"""
+
+
 SQL_MM_AUDIO = """WITH ids AS (SELECT i FROM range(300) t(i) WHERE i % 3 = 1),
 dims AS (SELECT i, 256 + (i % 4) * 64 n FROM ids),
 vals AS (
@@ -1415,8 +1453,10 @@ QUERIES["text_pii_scrub"] = q_text_pii_scrub
 ORACLES["text_pii_scrub"] = SQL_TEXT_PII
 QUERIES["mm_image_features"] = q_mm_image_features
 QUERIES["mm_audio_stats"] = q_mm_audio_stats
+QUERIES["mm_resize"] = q_mm_resize
 ORACLES["mm_image_features"] = SQL_MM_IMAGE
 ORACLES["mm_audio_stats"] = SQL_MM_AUDIO
+ORACLES["mm_resize"] = SQL_MM_RESIZE
 
 def q_rel_events_hourly(spark, sf_dir):
     """Hourly event rollup (the batch analog of a streaming windowed agg):
@@ -1715,6 +1755,31 @@ SELECT DISTINCT s, p, o FROM (
 
 QUERIES["kg_fuse_expand"] = q_kg_fuse_expand
 ORACLES["kg_fuse_expand"] = SQL_KG_FUSE_EXPAND
+
+
+def q_kg_fuse_rdfs_expand(spark, sf_dir):
+    """Fourth arm of the reference's 2×2 method matrix (VERDICT r3 #6):
+    RDFS-profile expansion-only (ReSHACL/re_shacl_rdfs_withoutM.py:127-145,
+    634-786).  Same sameAs-rich input as the OWL expand arm, but owl:sameAs
+    stays UNINTERPRETED: no alias copy-through, no symmetric/reflexive
+    completion — only rdfs3 range-typing fires."""
+    from re_shacl_spark.pipeline import fuse_expand
+
+    res = fuse_expand(spark, ablation_graph(spark, sf_dir), profile="rdfs")
+    return _spo(res.triples)
+
+
+SQL_KG_FUSE_RDFS_EXPAND = f"""WITH c AS (SELECT c_custkey AS k, c_nationkey AS n FROM customer)
+SELECT DISTINCT s, p, o FROM (
+  SELECT 'c:'||k AS s, 'kg:inNation' AS p, 'n:'||n AS o FROM c
+  UNION ALL SELECT 'c:'||k, '{SAMEAS}', 'cx:'||k FROM c WHERE k%3=0
+  UNION ALL SELECT 'n:'||n, '{TYPE}', 'kg:Nation' FROM c
+  UNION ALL SELECT 'kg:inNation', '{RANGE}', 'kg:Nation'
+) t"""
+
+
+QUERIES["kg_fuse_rdfs_expand"] = q_kg_fuse_rdfs_expand
+ORACLES["kg_fuse_rdfs_expand"] = SQL_KG_FUSE_RDFS_EXPAND
 
 
 # ---------------------------------------------------------------------------
@@ -3428,58 +3493,11 @@ ORACLES["v_severity"] = SQL_V_SEVERITY
 # ---------------------------------------------------------------------------
 
 _EVIDENCE_PRIORITY = [
-    # round-3 queries (no driver row can exist yet)
-    "kg_fuse_full",
-    "text_repetition",
-    "text_pii_scrub",
-    "v_logic",
-    "v_qualified",
-    "v_range",
-    "v_lang",
-    "v_pairs",
-    "v_closed",
-    "v_target_of",
-    "v_inverse_path",
-    "url_canonicalize",
-    "url_dedup_latest",
-    "url_domain_stats",
-    "bgp_star_join",
-    "bgp_optional",
-    "kg_fuse_delta",
-    "stream_fuse",
-    "v_severity",
-    "bgp_path_closure",
-    "bgp_path_inv_alt",
-    "bgp_minus_filter",
-    "construct_region_member",
-    "v_complex_path",
-    "bgp_path_nps",
-    "v_delta_incremental",
-    "stream_validate",
-    "kg_link_disambiguate",
-    "bgp_union",
-    "bgp_values",
-    "bgp_ask",
-    "describe_node",
-    "stream_window",
-    "stream_enrich",
-    "corpus_hash_sample",
-    "corpus_stratified",
+    # ---- the 50-query driver window (VERDICT r3 next #1): lead with every
+    # query that lacks a current green driver row ----
+    # the r3 red (dtype fixed this round: tokens() now emits long)
     "corpus_pack",
-    "corpus_mixture",
-    "corpus_decontaminate",
-    "corpus_quality_calibration",
-    "corpus_quality_sketch_gate",
-    "kg_degree_topk",
-    # round-2 queries absent from CORRECTNESS_r01/r02 (VERDICT r2, next #1)
-    "v_shape30_report",
-    "v_lubm_schema1",
-    "v_lubm_schema2",
-    "v_lubm_schema3",
-    "kg_fuse_rdfs",
-    "kg_fuse_expand",
-    "v_in",
-    "v_hasvalue",
+    # never driver-run (were positions 51+ last round)
     "v_not",
     "v_or",
     "v_node",
@@ -3492,12 +3510,80 @@ _EVIDENCE_PRIORITY = [
     "corpus_filter",
     "sim_ivf_topk",
     "mm_video_frames",
-    # round-1 rows-only queries upgraded / still unrecorded as full-oracle
+    # stale at r2 no_oracle (oracles written in r3, never driver-run since)
     "mm_image_features",
     "mm_audio_stats",
     "kg_pipeline_e2e",
-    "sim_lsh_topk",
+    "sim_lsh_topk",  # declared rows-only; gated by sim_lsh_recall
+    # new in round 4
+    "mm_resize",
+    "kg_fuse_rdfs_expand",
+    # changed in round 4 (exact_dedup pair rows; ngram default now LSH;
+    # tokens() long counts; _affected_foci class widening)
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "text_tokens",
+    "v_delta_incremental",
     "emb_near_dups",
+    # ---- flagship re-confirmation (fills the window to 50) ----
+    "kg_fuse",
+    "kg_fuse_full",
+    "kg_fuse_delta",
+    "kg_fuse_rdfs",
+    "kg_fuse_expand",
+    "kg_extract_text",
+    "kg_mentions",
+    "kg_emit_triples",
+    "stream_fuse",
+    "stream_validate",
+    "stream_window",
+    "stream_enrich",
+    "j7_transitive",
+    "j10_inverse_functional_sameas",
+    "j13_connected_components",
+    "v_mincount",
+    "v_shape30_report",
+    "v_lubm_schema1",
+    "v_lubm_schema2",
+    "v_lubm_schema3",
+    "kg_link_disambiguate",
+    "corpus_decontaminate",
+    "corpus_quality_sketch_gate",
+    "kg_degree_topk",
+    "url_canonicalize",
+    "text_quality",
+    # ---- below the 50-cap: everything re-confirmed green in r2/r3 ----
+    "text_repetition",
+    "text_pii_scrub",
+    "v_logic",
+    "v_qualified",
+    "v_range",
+    "v_lang",
+    "v_pairs",
+    "v_closed",
+    "v_target_of",
+    "v_inverse_path",
+    "url_dedup_latest",
+    "url_domain_stats",
+    "bgp_star_join",
+    "bgp_optional",
+    "v_severity",
+    "bgp_path_closure",
+    "bgp_path_inv_alt",
+    "bgp_minus_filter",
+    "construct_region_member",
+    "v_complex_path",
+    "bgp_path_nps",
+    "bgp_union",
+    "bgp_values",
+    "bgp_ask",
+    "describe_node",
+    "corpus_hash_sample",
+    "corpus_stratified",
+    "corpus_mixture",
+    "corpus_quality_calibration",
+    "v_in",
+    "v_hasvalue",
 ]
 
 QUERIES = {n: QUERIES[n] for n in _EVIDENCE_PRIORITY if n in QUERIES} | {
