@@ -474,17 +474,20 @@ def fuse_expand(
         closure_rows = [
             (a, vocab.SUBCLASS, b) for a, b in tbox.subclass_closure_pairs()
         ] + [(a, vocab.SUBPROP, b) for a, b in tbox.subprop_closure_pairs()]
-        # equivalence cycles entail the REFLEXIVE a⊑a rows too (scm-sco through
-        # the cycle); the merge path drops them as degenerate, expansion keeps
-        # them like the naive closure does
-        sc, sp = tbox.superclasses, tbox.superprops
-        closure_rows += [
-            (a, vocab.SUBCLASS, a) for a, sups in sc.items()
-            if any(a in sc.get(b, ()) for b in sups)
-        ] + [
-            (a, vocab.SUBPROP, a) for a, sups in sp.items()
-            if any(a in sp.get(b, ()) for b in sups)
-        ]
+        # Under OWL, equivalence cycles entail the REFLEXIVE a⊑a rows too
+        # (scm-sco through the cycle); the merge path drops them as
+        # degenerate, OWL expansion keeps them like the naive closure does.
+        # RDFS has no scm rules — equivalence is just mutual sub-edges
+        # (reference re_shacl_rdfs_withoutM.py:127-145), so no a⊑a there.
+        if profile != "rdfs":
+            sc, sp = tbox.superclasses, tbox.superprops
+            closure_rows += [
+                (a, vocab.SUBCLASS, a) for a, sups in sc.items()
+                if any(a in sc.get(b, ()) for b in sups)
+            ] + [
+                (a, vocab.SUBPROP, a) for a, sups in sp.items()
+                if any(a in sp.get(b, ()) for b in sups)
+            ]
         if closure_rows:
             derived = derived.unionByName(
                 spark.createDataFrame(closure_rows, ["s", "p", "o"]).select(

@@ -59,20 +59,45 @@ def _vars_of(pat: Pattern) -> list[str]:
     return [t[1:] for t in pat if _is_var(t)]
 
 
-def _bind(df: DataFrame, term_cols: list[tuple[str, str]]) -> DataFrame:
+# Suffix of the hidden term-identity companion column each variable carries
+# through BGP joins (rdflib term-identity semantics, not string-form): "I" for
+# IRIs, "L|<dtype>|<lang>" for literals (the lexical form is the visible
+# column itself).  Joins on shared variables include the companion, so a
+# literal whose lexical form equals an IRI never joins with it; the companions
+# are dropped from the solution before it leaves ``bgp``.
+_TAG = "__t"
+
+
+def _term_tag(is_col: Column, lit_col: Column) -> Column:
+    return F.when(
+        is_col,
+        F.concat(
+            F.lit("L|"),
+            F.coalesce(lit_col["dtype"], F.lit("")),
+            F.lit("|"),
+            F.coalesce(lit_col["lang"], F.lit("")),
+        ),
+    ).otherwise(F.lit("I"))
+
+
+def _bind(df: DataFrame, term_cols: list[tuple[str, str, Column]]) -> DataFrame:
     """Bind pattern terms to the frame's columns: constants filter, variables
-    project (a repeated variable inside one pattern becomes an equality
-    filter)."""
+    project — plus a term-identity companion per variable (a repeated
+    variable inside one pattern becomes an equality filter on term identity).
+    Constants filter by string form: the pattern API writes terms as plain
+    strings, and pattern constants are IRIs in every call site."""
     cols: list[Column] = []
-    seen: dict[str, str] = {}
-    for term, col in term_cols:
+    seen: dict[str, tuple[str, Column]] = {}
+    for term, col, tag in term_cols:
         if _is_var(term):
             v = term[1:]
             if v in seen:
-                df = df.filter(F.col(col) == F.col(seen[v]))
+                seen_col, seen_tag = seen[v]
+                df = df.filter((F.col(col) == F.col(seen_col)) & tag.eqNullSafe(seen_tag))
             else:
-                seen[v] = col
+                seen[v] = (col, tag)
                 cols.append(F.col(col).alias(v))
+                cols.append(tag.alias(v + _TAG))
         else:
             df = df.filter(F.col(col) == term)
     return df.select(*cols)
@@ -83,8 +108,22 @@ def _scan(triples: DataFrame, pat: Pattern) -> DataFrame:
     predicate first evaluates to an (a, b) endpoint-pair relation."""
     s, p, o = pat
     if isinstance(p, Path):
-        return _bind(eval_path(triples, p.expr), [(s, "a"), (o, "b")])
-    return _bind(triples, [(s, "s"), (p, "p"), (o, "o")])
+        pairs = eval_path(triples, p.expr, keep_meta="ab")
+        return _bind(
+            pairs,
+            [
+                (s, "a", _term_tag(F.col("a_is"), F.col("a_lit"))),
+                (o, "b", _term_tag(F.col("b_is"), F.col("b_lit"))),
+            ],
+        )
+    return _bind(
+        triples,
+        [
+            (s, "s", F.lit("I")),
+            (p, "p", F.lit("I")),
+            (o, "o", _term_tag(F.col("is_lit"), F.col("o_lit"))),
+        ],
+    )
 
 
 def _order(patterns: list[Pattern], allow_cross: bool) -> list[Pattern]:
@@ -123,8 +162,18 @@ def bgp(
     where: Column | None = None,
     minus: list[Pattern] | None = None,
     values: tuple[list[str], list[tuple]] | None = None,
+    _keep_tags: bool = False,
 ) -> DataFrame:
     """Match a conjunctive pattern list; returns one column per variable.
+
+    Joins on shared variables compose on full RDF TERM identity (the visible
+    string column plus a hidden ``__t`` companion: IRI vs literal, datatype,
+    language — ADVICE r3, same rule as ``eval_path``), so a literal binding
+    never joins an IRI binding with the same lexical form.  The companions
+    participate in required joins, OPTIONAL joins and MINUS compatibility,
+    then are dropped before the solution is returned (``_keep_tags`` is the
+    internal flag the MINUS recursion uses to keep them joinable).  VALUES
+    tables are inline query text joined by string form only.
 
     ``optional`` patterns left-join after the required block (SPARQL
     OPTIONAL); their unmatched variables are null.  ``where`` is a SPARQL
@@ -157,16 +206,19 @@ def bgp(
     if where is not None:
         out = out.filter(where)
     if minus:
-        m = bgp(triples, minus, allow_cross=allow_cross)
+        m = bgp(triples, minus, allow_cross=allow_cross, _keep_tags=True)
         shared = sorted(set(out.columns) & set(m.columns))
-        if shared:  # disjoint domains: MINUS is a no-op (SPARQL 1.1 §8.3)
+        if any(not c.endswith(_TAG) for c in shared):
+            # disjoint domains: MINUS is a no-op (SPARQL 1.1 §8.3)
             out = out.join(m.select(*shared).distinct(), shared, "left_anti")
     for pat in optional or []:
         scan = _scan(triples, pat)
         shared = sorted(set(out.columns) & set(scan.columns))
-        if not shared:
+        if not any(not c.endswith(_TAG) for c in shared):
             raise ValueError(f"OPTIONAL pattern shares no variable: {pat}")
         out = out.join(scan, shared, "left")
+    if not _keep_tags:
+        out = out.drop(*[c for c in out.columns if c.endswith(_TAG)])
     if select:
         out = out.select(*select)
     return out.distinct() if distinct else out
@@ -471,11 +523,14 @@ def _graph_terms(triples: DataFrame) -> DataFrame:
     return subs.union(objs).distinct()
 
 
-def eval_path(triples: DataFrame, expr, keep_meta: bool = False) -> DataFrame:
+def eval_path(triples: DataFrame, expr, keep_meta: bool | str = False) -> DataFrame:
     """Evaluate a property-path expression over the triple relation; returns
     the endpoint pairs as columns (a, b) — plus the terminal value's literal
     metadata (b_lit struct, b_is flag) when ``keep_meta`` is set (the SHACL
-    engine needs those to run datatype/language facets on path values).
+    engine needs those to run datatype/language facets on path values), or
+    BOTH endpoints' metadata (a_lit, a_is, b_lit, b_is) with
+    ``keep_meta="ab"`` (the BGP layer builds term-identity join keys for
+    path-bound variables from them).
     Composition (sequence / closure) joins on full TERM identity — string
     form + literal flag + literal struct — so a literal whose lexical form
     equals an IRI never continues a path through it (reference rdflib
@@ -556,6 +611,8 @@ def eval_path(triples: DataFrame, expr, keep_meta: bool = False) -> DataFrame:
         raise ValueError(f"unknown path node {e!r}")
 
     out = ev(ast)
+    if keep_meta == "ab":
+        return out.select("a", "b", "a_lit", "a_is", "b_lit", "b_is")
     if keep_meta:
         return out.select("a", "b", "b_lit", "b_is")
     return out.select("a", "b")

@@ -79,7 +79,8 @@ def main() -> None:
             F.lit(vocab.SAMEAS).alias("p"),
             F.concat(F.lit("pa:"), F.col("id").cast("string")).alias("o"),
             F.lit(None).cast(O_LIT_TYPE).alias("o_lit"),
-            F.lit(False).alias("o_is_literal"),
+            F.lit(False).alias("is_lit"),
+            F.lit(None).cast("string").alias("src_url"),
         )
     )
     g = abox.unionByName(aliases).localCheckpoint(eager=True)

@@ -52,11 +52,20 @@ def run_at(cores: int, pages: int, pyfiles: str, body_repeat: int) -> dict:
         "--body-repeat", str(body_repeat),
         "--checkpoint", ckpt,
     ]
-    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
-    line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")]
-    if not line:
-        raise RuntimeError(f"no JSON from spark-submit ({cores} cores):\n{out.stderr[-3000:]}")
-    return json.loads(line[-1])
+    # a crashed python worker (socket reset mid-Arrow-stream) kills one
+    # attempt, not the whole multi-hour evidence run: keep the full stderr
+    # for diagnosis and retry once from the stage checkpoint
+    for attempt in range(2):
+        shutil.rmtree(ckpt, ignore_errors=True)  # full-run timing, no resume credit
+        out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+        line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")]
+        if line:
+            return json.loads(line[-1])
+        log = f"/tmp/scaling_fail_{cores}c_a{attempt}.log"
+        with open(log, "w") as f:
+            f.write(out.stdout + "\n==== STDERR ====\n" + out.stderr)
+        sys.stderr.write(f"attempt {attempt} at {cores} cores failed; stderr -> {log}\n")
+    raise RuntimeError(f"no JSON from spark-submit ({cores} cores) after retry; see {log}")
 
 
 def main() -> None:

@@ -118,6 +118,42 @@ def test_path_eval_ops(spark):
     assert pairs(f"<{n}>*") == idty | pairs(f"<{n}>+")
 
 
+def test_bgp_join_term_identity(spark):
+    # A variable bound to a LITERAL in one pattern must not join a pattern
+    # where the same string is an IRI subject (rdflib term-identity
+    # semantics) — and vice versa; same-term joins still work.
+    v = EX + "v"
+    g = triples_df(spark, [
+        lit_triple(EX + "s1", EX + "p", v),           # s1 -p-> "…/v" (literal)
+        iri_triple(EX + "s2", EX + "p", v),           # s2 -p-> <…/v> (IRI)
+        iri_triple(v, EX + "q", EX + "o1"),           # <…/v> -q-> o1
+        lit_triple(EX + "y", EX + "q", v),            # y -q-> "…/v" (literal)
+    ])
+    got = {tuple(r) for r in bgp(
+        g, [("?x", EX + "p", "?m"), ("?m", EX + "q", "?z")], select=["x", "m", "z"]
+    ).collect()}
+    # only the IRI binding of ?m continues into ?m q ?z
+    assert got == {(EX + "s2", v, EX + "o1")}
+    # object-object join: literal "…/v" joins literal "…/v", IRI joins IRI —
+    # never across
+    got2 = {tuple(r) for r in bgp(
+        g, [("?x", EX + "p", "?m"), ("?y", EX + "q", "?m")], select=["x", "m", "y"]
+    ).collect()}
+    assert got2 == {(EX + "s1", v, EX + "y")}
+    # MINUS compatibility is term-aware too: removing (?m bound via q-object
+    # = the literal) must not remove the IRI binding
+    got3 = {tuple(r) for r in bgp(
+        g, [("?x", EX + "p", "?m")], minus=[("?y", EX + "q", "?m")], select=["x", "m"]
+    ).collect()}
+    assert got3 == {(EX + "s2", v)}
+    # hidden term-tag companions never leak into the solution schema
+    for df in (
+        bgp(g, [("?x", EX + "p", "?m")]),
+        bgp(g, [("?x", EX + "p", "?m")], optional=[("?m", EX + "q", "?z")]),
+    ):
+        assert all(not c.endswith("__t") for c in df.columns)
+
+
 def test_path_term_identity_composition(spark):
     # ADVICE r3: a literal "…/v" must not continue a sequence path through
     # the IRI <…/v> (same string form, different RDF terms) — but a
