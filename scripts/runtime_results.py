@@ -23,9 +23,11 @@ import argparse
 import json
 import os
 import statistics
+import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 
 def _table(rows: list[list[str]], header: list[str]) -> str:
