@@ -106,3 +106,43 @@ def test_detect_mentions_all_candidates(spark):
     assert {r.entity for r in one} == {"e1"}  # default: first dictionary entry
     both = mention_pairs(detect_mentions(pages, aliases, all_candidates=True)).collect()
     assert {(r.entity, r.score) for r in both} == {("e1", 0.9), ("e2", 0.7)}
+
+
+def test_mentions_scan_matches_regex():
+    """The str.find scan matcher must reproduce the longest-first alternation
+    regex exactly: same spans, same greedy non-overlap resolution, same
+    Unicode \\b semantics (extract/mentions.py:_scan_mentions)."""
+    from re_shacl_spark.extract.mentions import _compile, _scan_mentions
+
+    aliases = [
+        ("Acme Corp", "e0", 1.0),
+        ("Acme Corporation", "e0", 0.5),
+        ("ACME", "e0", 0.33),
+        ("J. Smith", "e1", 1.0),
+        ("Smith", "e2", 0.4),
+        ("café", "e3", 1.0),
+    ]
+    pat, table, meta = _compile(aliases)
+
+    def regex_ref(text, all_candidates=False):
+        out = []
+        for m in pat.finditer(text):
+            cands = table.get(m.group(1).lower())
+            if cands:
+                for ent, prior in cands if all_candidates else cands[:1]:
+                    out.append((m.group(1).lower(), ent, prior, m.start()))
+        return out
+
+    texts = [
+        "Acme Corporation beats Acme Corp; ACME filed.",  # longest-first wins
+        "acme corpX acme corp.",  # boundary: suffix word char kills the first
+        "smith J. Smith smith",  # overlap: J. Smith consumes the middle smith
+        "xSmith Smithx _Smith Smith_ Smith",  # \b edges around word chars
+        "le café CAFÉ cafés",  # unicode word chars: é boundary + case
+        "ACME" * 5,  # run-on, no boundaries inside
+        "..ACME..", "ACME", "", "İstanbul ACME İİ",  # case-len-change fallback
+        "aéAcme Corpéb Acme Corp",  # non-ascii neighbors are word chars
+    ]
+    for t in texts:
+        for ac in (False, True):
+            assert _scan_mentions(t, pat, table, meta, ac) == regex_ref(t, ac), (t, ac)
