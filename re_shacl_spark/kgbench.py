@@ -2407,6 +2407,73 @@ QUERIES["sim_ivf_topk"] = q_sim_ivf_topk
 ORACLES["sim_ivf_topk"] = SQL_SIM_IVF
 
 
+def q_sim_ivf_kmeans(spark, sf_dir):
+    """IVF top-k with the TRAINED coarse quantizer (ops/similarity.py
+    kmeans_centroids): two distributed Lloyd iterations, md5-seeded,
+    decimal-exact centroid updates — bit-deterministic at any parallelism, so
+    the oracle below can unroll the same two iterations in SQL."""
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cents = S.kmeans_centroids(emb, k=8, iters=2)
+    out = S.ivf_topk(emb, queries, n_probe=4, k=5, centroids=cents)
+    return out.select("q_id", "nn_id", "cosine", F.col("rank").cast("long").alias("rank"))
+
+
+def _sql_kmeans_iter(prev: str, cur: str) -> str:
+    """One unrolled Lloyd iteration: assign to nearest {prev} centroid
+    (cosine rounded to 6, ties to smaller cid — same as the Spark side), then
+    exact decimal component sums -> double means, empty cells keep {prev}."""
+    return f"""
+a_{cur} AS (
+  SELECT vec_id, v, cid AS cell FROM (
+    SELECT e.vec_id, e.v, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cid) rn
+    FROM e CROSS JOIN {prev} c) WHERE rn = 1),
+u_{cur} AS (
+  SELECT cell, i AS pos, (SUM(v[i+1]::DECIMAL(38,15))::DOUBLE) / COUNT(*) AS m
+  FROM a_{cur}, range(64) t(i) GROUP BY cell, i),
+{cur} AS (
+  SELECT p.cid, coalesce(u.cv, p.cv) AS cv
+  FROM {prev} p LEFT JOIN
+    (SELECT cell, list(m ORDER BY pos) AS cv FROM u_{cur} GROUP BY cell) u
+    ON u.cell = p.cid)"""
+
+
+SQL_SIM_IVF_KMEANS = (
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+c0 AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cid, v AS cv
+       FROM e QUALIFY cid < 8),"""
+    + _sql_kmeans_iter("c0", "c1").lstrip("\n")
+    + ","
+    + _sql_kmeans_iter("c1", "c2")
+    + """,
+cells AS (SELECT vec_id, cid AS cell FROM (
+    SELECT e.vec_id, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cid) rn
+    FROM e CROSS JOIN c2 c) WHERE rn = 1),
+q AS (SELECT vec_id q_id, v qv FROM e WHERE vec_id < 8),
+qcells AS (SELECT q_id, cid AS cell FROM (
+    SELECT q.q_id, c.cid,
+      row_number() OVER (PARTITION BY q.q_id
+        ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.cid) rn
+    FROM q CROSS JOIN c2 c) WHERE rn <= 4),
+cands AS (SELECT DISTINCT qc.q_id, ce.vec_id nn_id
+          FROM qcells qc JOIN cells ce USING (cell) WHERE ce.vec_id != qc.q_id),
+s AS (SELECT cands.q_id, cands.nn_id, round(list_cosine_similarity(q.qv, e.v), 6) cosine
+      FROM cands JOIN e ON e.vec_id = cands.nn_id JOIN q ON q.q_id = cands.q_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, nn_id) rank FROM s)
+SELECT q_id, nn_id, cosine, rank FROM r WHERE rank <= 5"""
+)
+
+
+QUERIES["sim_ivf_kmeans"] = q_sim_ivf_kmeans
+ORACLES["sim_ivf_kmeans"] = SQL_SIM_IVF_KMEANS
+
+
 def q_mm_video_frames(spark, sf_dir):
     """Multimodal: video frame sampling fan-out.  Full-oracle: the sampled
     frame BYTES are compared (as hex) against DuckDB reconstructing the VID0
@@ -3518,6 +3585,7 @@ _EVIDENCE_PRIORITY = [
     # new in round 4
     "mm_resize",
     "kg_fuse_rdfs_expand",
+    "sim_ivf_kmeans",
     # changed in round 4 (exact_dedup pair rows; ngram default now LSH;
     # tokens() long counts; _affected_foci class widening)
     "dedup_exact",

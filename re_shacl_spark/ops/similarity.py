@@ -169,20 +169,23 @@ def ivf_topk(
     vec_col: str = "embedding",
     q_id_col: str = "q_id",
     q_vec_col: str = "q_vec",
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF-style ANN: data vectors live in ONE coarse cell (their nearest
     centroid); each query probes its ``n_probe`` nearest cells and scores only
     the residents — the classic inverted-file index shape (one shuffle on
     cell, candidate fraction ≈ n_probe / n_centroids at scale).
 
-    Centroids here are the first ``n_centroids`` data vectors (deterministic,
-    oracle-mirrorable); swap in k-means centroids for production recall."""
-    cent_rows = (
-        emb.filter(F.col(id_col) < n_centroids)
-        .select(F.col(id_col).cast("int").alias("cid"), F.col(vec_col).cast("array<double>").alias("v"))
-        .collect()
-    )
-    centroids = sorted((r.cid, list(r.v)) for r in cent_rows)
+    Default centroids are the first ``n_centroids`` data vectors
+    (deterministic, oracle-mirrorable); pass ``centroids`` from
+    :func:`kmeans_centroids` for the trained quantizer."""
+    if centroids is None:
+        cent_rows = (
+            emb.filter(F.col(id_col) < n_centroids)
+            .select(F.col(id_col).cast("int").alias("cid"), F.col(vec_col).cast("array<double>").alias("v"))
+            .collect()
+        )
+        centroids = sorted((r.cid, list(r.v)) for r in cent_rows)
     cells = ivf_assign(emb, centroids, n_probe=1, id_col=id_col, vec_col=vec_col)
     qcells = ivf_assign(queries, centroids, n_probe=n_probe, id_col=q_id_col, vec_col=q_vec_col
                         ).withColumnRenamed("id", "q_id")
@@ -203,3 +206,69 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "nn_id", "cosine", "rank")
     )
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Distributed Lloyd training for the IVF coarse quantizer (the "swap in
+    k-means centroids for production recall" path of :func:`ivf_topk`).
+
+    Bit-deterministic at ANY parallelism, which ordinary float k-means is not:
+
+    - seeds are the ``k`` rows with the smallest ``(md5(id), id)`` — a
+      deterministic pseudo-random draw with no RNG state, the same trick the
+      sampling operators use;
+    - assignment is per-row JVM column math against literal centroids
+      (cosine, ties to the smaller centroid id) — no cross-row float order;
+    - each centroid update sums components as ``decimal(38,15)`` — exact and
+      therefore partition-order-independent — and divides driver-side, so the
+      resulting floats are identical however the rows were partitioned.
+
+    Scale shape: one scan + one k*dim-group aggregation per iteration;
+    centroid state is k*dim values on the driver (how Lloyd's is run on any
+    cluster).  Empty cells keep their previous centroid.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    seeds = (
+        emb.select(
+            F.col(id_col).alias("id"),
+            v.alias("v"),
+            F.md5(F.col(id_col).cast("string").cast("binary")).alias("h"),
+        )
+        .orderBy("h", "id")
+        .limit(k)
+        .collect()
+    )
+    cents = [(i, [float(x) for x in r.v]) for i, r in enumerate(seeds)]
+    dim = len(cents[0][1])
+    for _ in range(iters):
+        scored = []
+        for cid, cvec in cents:
+            c = F.array(*[F.lit(float(x)) for x in cvec])
+            scored.append(
+                F.struct(F.round(cosine(v, c), 6).alias("cos"), F.lit(-cid).alias("ncid"))
+            )
+        cell = -F.element_at(F.sort_array(F.array(*scored), asc=False), 1)["ncid"]
+        sums = (
+            # two selects: Spark 4.1's generator rewrite renames struct fields
+            # to col1/col2 when posexplode shares a projection with the
+            # struct-field access, breaking ["ncid"]
+            emb.select(cell.alias("cell"), v.alias("_v"))
+            .select("cell", F.posexplode("_v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(
+                F.sum(F.col("x").cast("decimal(38,15)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        upd: dict[int, list] = {}
+        for r in sums:
+            upd.setdefault(r.cell, [0.0] * dim)[r.pos] = float(r.s) / r.n
+        cents = [(cid, upd.get(cid, old)) for cid, old in cents]
+    return cents

@@ -378,3 +378,43 @@ def test_decontamination(spark):
     all_kept = {r.doc_id for r in
                 D2.decontaminate(docs, bench, n=5, min_hits=10).collect()}
     assert all_kept == {0, 1, 2}
+
+
+def test_kmeans_centroids_deterministic_and_clustered(spark):
+    import random
+
+    rnd = random.Random(11)
+    # two well-separated clusters in 8 dims
+    rows = []
+    for i in range(120):
+        base = 5.0 if i % 2 else -5.0
+        rows.append((i, [base + rnd.uniform(-0.5, 0.5) for _ in range(8)]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    # bit-identical centroids at different parallelism (the decimal-exact
+    # update is partition-order-independent; float avg() would not be)
+    c1 = S.kmeans_centroids(emb.repartition(1), k=2, iters=3)
+    c13 = S.kmeans_centroids(emb.repartition(13), k=2, iters=3)
+    assert c1 == c13
+
+    # each trained centroid sits inside one cluster (|mean| ≈ 5 per dim)
+    signs = {tuple(1 if x > 0 else -1 for x in v) for _, v in c1}
+    assert signs == {(1,) * 8, (-1,) * 8}
+    for _, v in c1:
+        assert all(4.0 < abs(x) < 6.0 for x in v)
+
+    # trained quantizer feeds ivf_topk; probing all cells is exact
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = {(r.q_id, r.nn_id) for r in S.brute_force_topk(emb, q, k=5).collect()}
+    full = {
+        (r.q_id, r.nn_id)
+        for r in S.ivf_topk(emb, q, n_probe=2, k=5, centroids=c1).collect()
+    }
+    assert full == exact
+
+    # empty-cell retention: k=3 on 2 tight clusters leaves a cell empty or
+    # converges; either way every centroid stays a finite 8-dim vector
+    c3 = S.kmeans_centroids(emb, k=3, iters=2)
+    assert all(len(v) == 8 and all(isinstance(x, float) for x in v) for _, v in c3)
