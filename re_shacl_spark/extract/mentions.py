@@ -128,15 +128,24 @@ def detect_mentions(
     text_col: str = "text",
     skip_empty_lang: bool = True,
     all_candidates: bool = False,
+    drop: tuple[str, ...] = (),
 ) -> DataFrame:
     """pages + ``mentions`` column.  Rows with null text (or empty lang when
     skip_empty_lang) get an empty mention list — the reference-mandated skip
     path.  ``all_candidates`` emits every dictionary candidate per hit (for
     downstream disambiguation — extract/linking.py); the default keeps the
-    dictionary's first entry per alias."""
+    dictionary's first entry per alias.
+
+    ``drop`` removes input columns from the OUTPUT inside the UDF: a consumed
+    column the caller would drop right after (the text itself, typically)
+    should never ride the Python→JVM Arrow transfer back out — at corpus
+    scale that return leg is gigabytes of dead weight per billion pages."""
     sc = pages.sparkSession.sparkContext
     bc = sc.broadcast(alias_rows)
-    out_schema = T.StructType(pages.schema.fields + [T.StructField("mentions", MENTION_TYPE)])
+    out_schema = T.StructType(
+        [f for f in pages.schema.fields if f.name not in drop]
+        + [T.StructField("mentions", MENTION_TYPE)]
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pat, table, meta = _compile(bc.value)
@@ -149,9 +158,12 @@ def detect_mentions(
             return _scan_mentions(text, pat, table, meta, all_candidates)
 
         for b in batches:
-            b["mentions"] = [
+            mentions = [
                 find(t, lg) for t, lg in zip(b[text_col].tolist(), b["lang"].tolist())
             ]
+            if drop:
+                b = b.drop(columns=list(drop))
+            b["mentions"] = mentions
             yield b
 
     return pages.mapInPandas(run, out_schema)

@@ -125,7 +125,13 @@ def construct_kg(
     # column dominates checkpoint I/O and is never read downstream (url is the
     # lineage key back to the source table)
     s1 = run("s1_text", lambda: extract_text(pages).drop("html"))
-    s2 = run("s2_mentions", lambda: detect_mentions(s1, alias_rows).drop("text"))
+    # project to what the UDF reads (url/text/lang — warc_ts never enters the
+    # Arrow batch) and drop the text INSIDE it (never rides the return leg);
+    # downstream (emit_triples) consumes only url + mentions
+    s2 = run(
+        "s2_mentions",
+        lambda: detect_mentions(s1.select("url", "text", "lang"), alias_rows, drop=("text",)),
+    )
 
     def build_triples():
         t = emit_triples(s2, entity_classes)

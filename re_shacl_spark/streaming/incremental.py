@@ -46,7 +46,7 @@ def triple_stream(
     """pages stream → (s,p,o,...) stream.  Stateless transforms only, so the
     plan is valid in append mode with no watermark."""
     t = extract_text(pages).drop("html")
-    m = detect_mentions(t, alias_rows).drop("text")
+    m = detect_mentions(t, alias_rows, drop=("text",))
     return emit_triples(m, entity_classes, stream_safe=True)
 
 
