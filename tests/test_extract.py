@@ -146,3 +146,38 @@ def test_mentions_scan_matches_regex():
     for t in texts:
         for ac in (False, True):
             assert _scan_mentions(t, pat, table, meta, ac) == regex_ref(t, ac), (t, ac)
+
+
+def test_mentions_scan_matches_regex_fuzz():
+    """Property-based: on arbitrary text (incl. unicode word chars and
+    whitespace) the scan matcher equals the alternation regex."""
+    from hypothesis import given, settings, strategies as st
+
+    from re_shacl_spark.extract.mentions import _compile, _scan_mentions
+
+    aliases = [
+        ("ab", "e1", 1.0),
+        ("ab cd", "e2", 0.9),
+        ("cd", "e3", 0.8),
+        ("a.b", "e4", 0.7),
+        ("über", "e5", 0.6),
+    ]
+    pat, table, meta = _compile(aliases)
+
+    def regex_ref(text):
+        out = []
+        for m in pat.finditer(text):
+            cands = table.get(m.group(1).lower())
+            if cands:
+                ent, prior = cands[0]
+                out.append((m.group(1).lower(), ent, prior, m.start()))
+        return out
+
+    alphabet = st.sampled_from(list("ab cd.xü AB CD\tÜ\n_0é!İ"))
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet=alphabet, max_size=40))
+    def check(text):
+        assert _scan_mentions(text, pat, table, meta, False) == regex_ref(text)
+
+    check()
