@@ -148,9 +148,44 @@ def _bench_incremental_validation(spark, sf_dir: str) -> dict:
     }
 
 
+def _box_calibration() -> dict:
+    """Single-core speed probe recorded WITH every bench draw (best of 3):
+    the sandbox host throttles unpredictably — the same pipeline leg has
+    measured 1.6× slower hours apart at zero load average — so every recorded
+    draw carries its own box-state evidence.  Compare the probe values across
+    BENCH_r*.json draws: a slow headline total with a proportionally slow
+    probe is the box, not a code regression."""
+    import time as _t
+
+    def arith_once() -> float:
+        t0 = _t.time()
+        s = 0.0
+        for i in range(2_500_000):
+            s += (i * i) % 97
+        return _t.time() - t0
+
+    text = "The Quick Brown Fox visited Berlin and Paris with Apple Inc today " * 8
+
+    def string_once() -> float:
+        t0 = _t.time()
+        hits = 0
+        for i in range(20_000):
+            t = (text + str(i)).lower()
+            for w in t.split():
+                if w.startswith(("ber", "par", "app")):
+                    hits += 1
+        return _t.time() - t0
+
+    return {
+        "arith_sec": round(min(arith_once() for _ in range(3)), 3),
+        "string_sec": round(min(string_once() for _ in range(3)), 3),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    box_cal = _box_calibration()
     fuse_stress = _fuse_stress()
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -287,6 +322,7 @@ def main() -> None:
                 "incremental_validation": inc_validation,
                 "rows": rows,
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+                "box_calibration": box_cal,
             }
         )
     )
