@@ -1,0 +1,234 @@
+"""Corpus-preparation operators for LLM training pipelines: chunking,
+vocabulary statistics, n-gram counts, deterministic training-order sharding,
+and line-level boilerplate removal.
+
+These extend the brief's training-data family (dedup / sampling / textstats)
+with the remaining steps a pretraining data pipeline runs between "cleaned
+documents" and "token shards".  The reference engine has no counterpart (it is
+a KG reasoner; /root/reference/ReSHACL/re_shacl.py); the design obligations
+here are Spark-native:
+
+* every operator is pure column algebra or one keyed aggregation — zero
+  Python UDFs, everything whole-stage-codegen'd;
+* per-document transforms (chunking, n-grams) are SHUFFLE-FREE: the sliding
+  windows are computed with array higher-order functions inside the scan
+  stage, so 10^12 documents chunk at scan throughput;
+* corpus-wide statistics (vocab, n-gram counts) use partial aggregation —
+  the exchange carries one partial row per (task, key), and top-k plans as
+  TakeOrderedAndProject (per-task heaps, no global sort);
+* boilerplate removal is the CCNet shape: explode lines once, count per
+  (group, line) with map-side combine, hash-join the verdicts back, rebuild —
+  three shuffles total, each on bounded keys;
+* training-shard assignment is md5-deterministic (same rows → same shards on
+  any cluster; DuckDB mirrors reproduce it bit-for-bit) and sorts WITHIN each
+  shard only — no global row_number, the classic single-reducer trap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .sampling import _key_hash
+
+_WS = r"\s+"
+
+
+def _words(text_col: str) -> F.Column:
+    """Whitespace tokens of the trimmed text (same tokenizer as
+    textstats.tokens, so chunk token counts line up with corpus stats)."""
+    return F.split(F.trim(F.col(text_col)), _WS)
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into overlapping fixed-size token windows —
+    the standard pretraining context-window prep.
+
+    Chunk ``i`` covers tokens ``[i·stride, i·stride + chunk_tokens)`` with
+    ``stride = chunk_tokens − overlap``; the last chunk may be short, and a
+    document of ≤ ``overlap`` tokens still yields one chunk.  Documents whose
+    trimmed text is empty yield nothing.
+
+    Returns (id_col, chunk_id, n_tokens, chunk_text), one row per chunk.
+
+    Scale shape: the whole operator is array algebra inside the scan stage —
+    ``split`` → ``sequence`` → ``transform``(slice + join) → ``inline`` —
+    NO shuffle, no Python; 10^12 documents chunk at parquet-scan speed and
+    the output partitioning inherits the input's."""
+    if overlap >= chunk_tokens:
+        raise ValueError(f"overlap {overlap} must be < chunk_tokens {chunk_tokens}")
+    stride = chunk_tokens - overlap
+    words = _words(text_col)
+    n = F.size(words)
+    n_chunks = F.ceil(F.greatest(n - overlap, F.lit(1)) / F.lit(stride)).cast("int")
+    chunk = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_id"),
+            F.least(F.lit(chunk_tokens), n - i * stride).cast("long").alias("n_tokens"),
+            F.array_join(F.slice(words, i * stride + 1, chunk_tokens), " ").alias("chunk_text"),
+        ),
+    )
+    return (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col), F.inline(chunk))
+        .select(id_col, "chunk_id", "n_tokens", "chunk_text")
+    )
+
+
+def vocab_topk(
+    df: DataFrame, k: int = 1000, text_col: str = "text"
+) -> DataFrame:
+    """Corpus vocabulary: the ``k`` most frequent lowercased whitespace
+    tokens, with document frequency alongside term frequency.
+
+    Returns (word, tf, df) ordered by (tf desc, word) — the tie-break makes
+    the cut deterministic.
+
+    Scale shape: one explode + one hash aggregation (map-side partials carry
+    one row per distinct word per task, not per occurrence; df counts via
+    count_distinct's two-phase expand), then TakeOrderedAndProject keeps a
+    k-heap per task — the full vocabulary never sorts globally."""
+    word = F.explode(F.split(F.lower(F.trim(F.col(text_col))), _WS)).alias("word")
+    occ = df.select(F.col("doc_id"), word).filter(F.col("word") != "")
+    counts = occ.groupBy("word").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.count_distinct("doc_id").alias("df"),
+    )
+    return counts.orderBy(F.col("tf").desc(), F.col("word").asc()).limit(k)
+
+
+def ngram_counts(
+    df: DataFrame,
+    n: int = 2,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Word n-gram frequency table (the LM-dataset diagnostic / contamination
+    fingerprint source): every run of ``n`` consecutive lowercased tokens,
+    counted corpus-wide, rare grams (< ``min_count``) dropped.
+
+    Returns (ngram, n_occurrences).
+
+    Scale shape: the gram windows are built per row with
+    ``sequence``/``transform`` (no shuffle, same trick as chunk_documents),
+    then one partial-aggregated count; the min_count filter runs post-agg so
+    the exchange already carries combined partials."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    words = F.split(F.lower(F.trim(F.col(text_col))), _WS)
+    n_grams = F.size(words) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), n_grams - 1),
+        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+    )
+    occ = (
+        df.filter(F.size(words) >= n)
+        .select(F.explode(grams).alias("ngram"))
+    )
+    return (
+        occ.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= min_count)
+    )
+
+
+def training_shards(
+    df: DataFrame,
+    n_shards: int,
+    seed: str = "",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global training order, sharded: every document gets a
+    (shard, pos_in_shard) address by md5 — the reproducible equivalent of
+    "shuffle the corpus and write N shard files".
+
+    shard       = 60-bit md5(seed‖id) mod n_shards
+    pos_in_shard = rank of a SECOND, independent md5 (different salt) within
+                   the shard — so shard membership and intra-shard order are
+                   uncorrelated, and the same (seed, corpus) reproduces the
+                   identical order on any cluster or engine.
+
+    Returns the input columns plus (shard, pos_in_shard).
+
+    Scale shape: one shuffle on ``shard``; each shard sorts independently
+    inside its window partition (never a global row_number — the
+    single-reducer trap).  Size shards so one shard's rows fit a task:
+    10^12 docs / 10^6 shards = 10^6 rows per window partition."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    shard = F.pmod(_key_hash(id_col, seed + "|shard"), F.lit(n_shards)).cast("int")
+    order_key = _key_hash(id_col, seed + "|order")
+    w = Window.partitionBy("shard").orderBy(F.col("__ord"), F.col(id_col))
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("__ord", order_key)
+        .withColumn("pos_in_shard", F.row_number().over(w).cast("long"))
+        .drop("__ord")
+    )
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    min_docs: int = 3,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Line-level boilerplate removal (the CCNet / RefinedWeb recipe): a line
+    whose trimmed form appears in ≥ ``min_docs`` distinct documents of the
+    same ``group_col`` (site / crawl source) is navigation-or-template text —
+    drop it everywhere in the group.  Blank lines are dropped too.
+
+    Returns (id_col, group_col, text, n_kept, n_dropped) with ``text``
+    rebuilt from the surviving lines in original order; documents whose every
+    line is boilerplate keep an empty text (they remain visible so the caller
+    can count/route them).
+
+    Scale shape: lines explode once with their position; the verdict is one
+    hash aggregation on (group, line) with map-side combine (state is one
+    HLL-free exact count per distinct line — bounded by template diversity,
+    not corpus size), a shuffle join back on the same key (AQE handles the
+    hot blank-template keys), and one regroup by document to reassemble.
+    Three shuffles, each on keys that grow with distinct content, not rows."""
+    lines = (
+        df.select(
+            F.col(id_col),
+            F.col(group_col),
+            F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias("pos", "line"),
+        )
+        .withColumn("line", F.trim(F.col("line")))
+    )
+    verdicts = (
+        lines.filter(F.col("line") != "")
+        .groupBy(group_col, "line")
+        .agg(F.count_distinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select(group_col, "line", F.lit(True).alias("is_boiler"))
+    )
+    marked = lines.join(verdicts, [group_col, "line"], "left").withColumn(
+        "keep", F.col("is_boiler").isNull() & (F.col("line") != "")
+    )
+    rebuilt = marked.groupBy(id_col, group_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct(F.col("pos"), F.col("line")))
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("text"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1)).cast("long").alias("n_dropped"),
+    )
+    return rebuilt.select(id_col, group_col, "text", "n_kept", "n_dropped")

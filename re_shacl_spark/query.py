@@ -162,6 +162,9 @@ def bgp(
     where: Column | None = None,
     minus: list[Pattern] | None = None,
     values: tuple[list[str], list[tuple]] | None = None,
+    bind: dict[str, Column] | None = None,
+    filter_exists: list[list[Pattern]] | None = None,
+    filter_not_exists: list[list[Pattern]] | None = None,
     _keep_tags: bool = False,
 ) -> DataFrame:
     """Match a conjunctive pattern list; returns one column per variable.
@@ -188,6 +191,18 @@ def bgp(
     that variable unconstrained for that row (rows are grouped by their
     defined-column mask and each group joins on its own columns — multiset
     semantics, a binding matched by two VALUES rows appears twice).
+    ``bind`` is SPARQL BIND: ``{"name": <Column expr over the variables>}``
+    adds each computed variable to the solution (applied after the required
+    block, before VALUES/FILTER, in dict order so later binds may use earlier
+    ones); bound variables carry a plain-literal term tag, so a bind output
+    only term-joins other plain literals downstream.  ``filter_exists`` /
+    ``filter_not_exists`` are SPARQL FILTER (NOT) EXISTS blocks — each inner
+    BGP keeps / removes solutions that have at least one compatible inner
+    match on the shared variables (a left-semi / left-anti join on full term
+    identity).  Unlike MINUS, a NOT EXISTS block sharing *no* variable still
+    eliminates everything when the inner pattern matches at all (SPARQL 1.1
+    §8.3's MINUS-vs-NOT-EXISTS divergence) — implemented as an anti join
+    against ``inner.limit(1)``, one row, never data-sized.
     ``select`` projects (and orders) the output variables; ``distinct``
     deduplicates bindings (SPARQL SELECT DISTINCT).
     """
@@ -201,10 +216,22 @@ def bgp(
         else:
             shared = sorted(set(out.columns) & set(scan.columns))
             out = out.join(scan, shared) if shared else out.crossJoin(scan)
+    for name, expr in (bind or {}).items():
+        if name in out.columns:
+            raise ValueError(f"BIND variable ?{name} already bound")
+        out = out.withColumn(name, expr).withColumn(name + _TAG, F.lit("L||"))
     if values is not None:
         out = _apply_values(out, values)
     if where is not None:
         out = out.filter(where)
+    for block, how in ((filter_exists, "left_semi"), (filter_not_exists, "left_anti")):
+        for pats in block or []:
+            inner = bgp(triples, pats, allow_cross=allow_cross, _keep_tags=True)
+            shared = sorted(set(out.columns) & set(inner.columns))
+            if any(not c.endswith(_TAG) for c in shared):
+                out = out.join(inner.select(*shared).distinct(), shared, how)
+            else:
+                out = out.join(inner.limit(1), F.lit(True), how)
     if minus:
         m = bgp(triples, minus, allow_cross=allow_cross, _keep_tags=True)
         shared = sorted(set(out.columns) & set(m.columns))
@@ -657,3 +684,108 @@ def construct(
     for p_ in parts[1:]:
         out = out.unionByName(p_)
     return out.distinct()
+
+
+# ---------------------------------------------------------------------------
+# Aggregation and solution-sequence modifiers (SPARQL 1.1 §11 / §18.5).
+#
+# The reference reads its fused graph through rdflib, whose SPARQL engine
+# supports GROUP BY + COUNT/SUM/MIN/MAX/AVG/SAMPLE/GROUP_CONCAT and
+# ORDER BY/LIMIT/OFFSET (re_shacl.py's graph.query surface).  Here each
+# aggregate compiles to one Spark hash aggregation over the solution frame:
+# map-side partial aggregation runs before the single group-key shuffle, so
+# the exchange carries one partial row per (task, group), not one row per
+# solution — the correct 10^12-triple shape.  COUNT(DISTINCT x) plans as
+# Spark's standard two-phase expand; GROUP_CONCAT collects per-group lists
+# (objects sized by the group, the only agg here whose state is not O(1) —
+# same caveat class as exact_dedup's id arrays, documented below).
+# ---------------------------------------------------------------------------
+
+
+def aggregate(
+    solutions: DataFrame,
+    group_by: list[str],
+    aggs: dict[str, tuple],
+    having: Column | None = None,
+) -> DataFrame:
+    """SPARQL GROUP BY + aggregates over a solution frame (the output of
+    ``bgp``/``union``).  ``aggs`` maps output aliases to specs:
+
+        ("count", "*")            COUNT(*)
+        ("count", "v")            COUNT(?v)        — unbound (null) rows skipped
+        ("count_distinct", "v")   COUNT(DISTINCT ?v)
+        ("sum"|"avg", "v")        numeric, over try_cast(?v AS DOUBLE) — a
+                                  non-numeric lexical form aggregates as
+                                  unbound, never an error (matches SPARQL's
+                                  type-error-drops-row semantics loosely, and
+                                  stays ANSI-safe under Spark 4 defaults)
+        ("min"|"max", "v")        lexicographic over the lexical form (same
+                                  collation DuckDB applies to VARCHAR)
+        ("sample", "v")           deterministic: MIN(?v).  SPARQL allows any
+                                  group member; the minimum keeps reruns and
+                                  oracle mirrors bit-stable
+        ("group_concat", "v", sep) sorted-list concat: the group's values are
+                                  sorted before joining, so the result is
+                                  order-independent across partitionings —
+                                  SPARQL leaves the order undefined, mirrors
+                                  DuckDB's string_agg(... ORDER BY ...)
+
+    ``group_by`` may be empty (a single global group, SPARQL §11.1's implicit
+    group).  ``having`` filters groups after aggregation (SPARQL HAVING) —
+    any Column predicate over the output aliases."""
+    cols: list[Column] = []
+    for alias, spec in aggs.items():
+        fn, var = spec[0], spec[1]
+        if fn == "count":
+            c = F.count(F.lit(1)) if var == "*" else F.count(F.col(var))
+        elif fn == "count_distinct":
+            c = F.count_distinct(F.col(var))
+        elif fn in ("sum", "avg"):
+            num = F.col(var).try_cast("double")
+            c = F.sum(num) if fn == "sum" else F.avg(num)
+        elif fn == "min":
+            c = F.min(F.col(var))
+        elif fn == "max":
+            c = F.max(F.col(var))
+        elif fn == "sample":
+            c = F.min(F.col(var))
+        elif fn == "group_concat":
+            sep = spec[2] if len(spec) > 2 else " "
+            c = F.array_join(F.sort_array(F.collect_list(F.col(var))), sep)
+        else:
+            raise ValueError(f"unknown aggregate {fn!r}")
+        cols.append(c.alias(alias))
+    out = solutions.groupBy(*group_by).agg(*cols) if group_by else solutions.agg(*cols)
+    return out.filter(having) if having is not None else out
+
+
+def modifiers(
+    solutions: DataFrame,
+    order_by: list[str | tuple[str, str]] | None = None,
+    limit: int | None = None,
+    offset: int = 0,
+) -> DataFrame:
+    """SPARQL solution-sequence modifiers: ORDER BY, then OFFSET, then LIMIT
+    (§18.5.2's slice order).  ``order_by`` entries are variable names or
+    ``(name, "desc")`` pairs; nulls (unbound) sort first ascending, last
+    descending — SPARQL's "unbound is lowest".
+
+    Scale shape: ORDER BY alone is a global range-partitioned sort (sampled
+    boundaries, one exchange).  ORDER BY + LIMIT k collapses to
+    TakeOrderedAndProject — each task keeps a k-heap and the driver merges,
+    no full sort ever materializes; OFFSET folds into the fetch as
+    limit+offset heap rows.  Callers ranking "top k of 10^12" pay O(k) driver
+    memory, not a terasort."""
+    out = solutions
+    if order_by:
+        cols = []
+        for entry in order_by:
+            name, direction = entry if isinstance(entry, tuple) else (entry, "asc")
+            c = F.col(name)
+            cols.append(c.desc_nulls_last() if direction == "desc" else c.asc_nulls_first())
+        out = out.orderBy(*cols)
+    if offset:
+        out = out.offset(offset)
+    if limit is not None:
+        out = out.limit(limit)
+    return out

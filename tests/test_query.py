@@ -336,3 +336,118 @@ def test_ask_and_describe(spark):
     assert got_df == got
     with pytest.raises(ValueError):
         describe(g, [])
+
+
+# ---------------------------------------------------------------------------
+# Aggregation + solution modifiers + BIND + FILTER (NOT) EXISTS
+# ---------------------------------------------------------------------------
+
+
+def _agg_g(spark):
+    rows = [
+        iri_triple(EX + "a", vocab.TYPE, EX + "Person"),
+        iri_triple(EX + "b", vocab.TYPE, EX + "Person"),
+        iri_triple(EX + "c", vocab.TYPE, EX + "Robot"),
+        lit_triple(EX + "a", EX + "age", "30", dtype=vocab.XSD + "integer"),
+        lit_triple(EX + "b", EX + "age", "40", dtype=vocab.XSD + "integer"),
+        lit_triple(EX + "c", EX + "age", "unknown"),
+        lit_triple(EX + "a", EX + "name", "Alice"),
+        lit_triple(EX + "b", EX + "name", "Bob"),
+        lit_triple(EX + "b", EX + "name", "Bobby"),
+    ]
+    return triples_df(spark, rows)
+
+
+def test_aggregate_count_sum_groupconcat(spark):
+    from re_shacl_spark.query import aggregate
+
+    sol = bgp(_agg_g(spark), [("?x", vocab.TYPE, "?t")],
+              optional=[("?x", EX + "age", "?v"), ("?x", EX + "name", "?n")])
+    out = aggregate(sol, ["t"], {
+        "n": ("count", "*"),
+        "n_named": ("count", "n"),           # COUNT(?n) skips unbound
+        "n_people": ("count_distinct", "x"),
+        "total_age": ("sum", "v"),           # 'unknown' casts to null, skipped
+        "names": ("group_concat", "n", "|"),
+        "any_x": ("sample", "x"),
+    })
+    got = {r["t"]: r.asDict() for r in out.collect()}
+    person = got[EX + "Person"]
+    # b has two names -> 3 solution rows for Person
+    assert person["n"] == 3 and person["n_named"] == 3 and person["n_people"] == 2
+    assert person["total_age"] == 30 + 40 + 40  # b's age repeats per name row
+    assert person["names"] == "Alice|Bob|Bobby"
+    assert person["any_x"] == EX + "a"
+    robot = got[EX + "Robot"]
+    assert robot["total_age"] is None and robot["n"] == 1
+
+
+def test_aggregate_global_group_and_having(spark):
+    from pyspark.sql import functions as F
+
+    from re_shacl_spark.query import aggregate
+
+    sol = bgp(_agg_g(spark), [("?x", vocab.TYPE, "?t")])
+    glob = aggregate(sol, [], {"n": ("count", "*")})
+    assert glob.collect()[0]["n"] == 3
+    kept = aggregate(sol, ["t"], {"n": ("count", "*")}, having=F.col("n") >= 2)
+    assert [r["t"] for r in kept.collect()] == [EX + "Person"]
+
+
+def test_modifiers_order_offset_limit(spark):
+    from re_shacl_spark.query import aggregate, modifiers
+
+    sol = bgp(_agg_g(spark), [("?x", "?p", "?o")])
+    per_subj = aggregate(sol, ["x"], {"n": ("count", "*")})
+    ordered = modifiers(per_subj, order_by=[("n", "desc"), "x"])
+    names = [r["x"] for r in ordered.collect()]
+    assert names == [EX + "b", EX + "a", EX + "c"]  # 4, 3, 2 triples
+    sliced = modifiers(per_subj, order_by=[("n", "desc"), "x"], limit=1, offset=1)
+    assert [r["x"] for r in sliced.collect()] == [EX + "a"]
+
+
+def test_bind_and_filter_exists(spark):
+    from pyspark.sql import functions as F
+
+    got = {tuple(r) for r in bgp(
+        _agg_g(spark),
+        [("?x", vocab.TYPE, "?t")],
+        bind={"label": F.concat(F.lit("<"), F.col("x"), F.lit(">"))},
+        filter_exists=[[("?x", EX + "age", "?v")]],
+        select=["x", "label"],
+    ).collect()}
+    assert got == {(EX + "a", f"<{EX}a>"), (EX + "b", f"<{EX}b>"),
+                   (EX + "c", f"<{EX}c>")}
+
+
+def test_filter_not_exists_shared_and_disjoint(spark):
+    # shared variable: drop typed subjects that have a name
+    got = {r["x"] for r in bgp(
+        _agg_g(spark),
+        [("?x", vocab.TYPE, "?t")],
+        filter_not_exists=[[("?x", EX + "name", "?n")]],
+    ).collect()}
+    assert got == {EX + "c"}
+    # NO shared variable: NOT EXISTS wipes everything when the inner matches
+    # (the MINUS-vs-NOT-EXISTS divergence, SPARQL 1.1 §8.3)
+    empty = bgp(
+        _agg_g(spark),
+        [("?x", vocab.TYPE, "?t")],
+        filter_not_exists=[[("?y", EX + "name", "?n")]],
+    )
+    assert empty.count() == 0
+    # ...while MINUS with no shared variable removes nothing
+    kept = bgp(
+        _agg_g(spark),
+        [("?x", vocab.TYPE, "?t")],
+        minus=[("?y", EX + "name", "?n")],
+    )
+    assert kept.count() == 3
+
+
+def test_bind_rejects_rebinding(spark):
+    from pyspark.sql import functions as F
+
+    with pytest.raises(ValueError, match="already bound"):
+        bgp(_agg_g(spark), [("?x", vocab.TYPE, "?t")],
+            bind={"x": F.lit("nope")}).collect()
