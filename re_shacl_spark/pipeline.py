@@ -167,6 +167,26 @@ def fuse(
     rep_map: DataFrame | None = None
     rounds = 0
     if first_full:
+        # Close the LINEAR rules to fixpoint BEFORE the first transitive
+        # closure.  Linear rules feed transitive predicates (subPropertyOf
+        # into a TransitiveProperty is the canonical case), so interleaving
+        # them with the closure runs the closure TWICE: once over the raw
+        # graph, once after the linear round lands its trans-pred edges.
+        # Pre-closing costs one cheap broadcast-join derive + anti-join per
+        # composition level (depth ≤4), and the iterative-doubling closure —
+        # the most expensive phase at 10^12 triples — then runs exactly once
+        # over the linear-closed graph (same inner loop the incremental init
+        # below already uses on its delta).
+        _pt = _trace_t()
+        step = cur
+        for _ in range(32):
+            nd = engine.derive_linear(step).dropDuplicates(["s", "p", "o"])
+            nd = nd.join(cur, ["s", "p", "o"], "left_anti").localCheckpoint(eager=True)
+            if nd.isEmpty():
+                break
+            cur = cur.unionByName(nd)
+            step = nd
+        _trace(_pt, "linear pre-closure")
         delta = cur
     else:
         # incremental init: canonicalize the delta into the base's id space,
@@ -220,9 +240,10 @@ def fuse(
         progressed = False
         _rt = _trace_t()
 
-        # the incremental delta is already linearly closed (init above) —
-        # round 1 skips the re-derivation AND its full-graph anti-join
-        if not first_full and rounds == 1:
+        # round 1's graph is already linearly closed (the pre-closure above,
+        # both the full and the incremental path) — skip the re-derivation
+        # AND its full-graph anti-join
+        if rounds == 1:
             derived = delta.limit(0)
         else:
             derived = engine.derive_linear(delta)
@@ -237,12 +258,10 @@ def fuse(
         )
         if trans_props:
             # cheap delta-fed probe on the linear frame BEFORE the closure is
-            # unioned in — decides next round's trigger.  Round 1's delta is
-            # the whole graph (probe not cheap): assume true conservatively.
-            lin_made_trans = (
-                (first_full and rounds == 1)
-                or not derived.filter(F.col("p").isin(trans_props)).isEmpty()
-            )
+            # unioned in — decides next round's trigger.  Round 1's linear
+            # frame is empty by construction (pre-closed), so its trans-pred
+            # edges are already inside the closure running this round.
+            lin_made_trans = not derived.filter(F.col("p").isin(trans_props)).isEmpty()
         if include_trans:
             derived = derived.unionByName(engine.rule_transitive(cur))
         # For linear-only confirmation rounds, probe derived BEFORE the
@@ -251,7 +270,7 @@ def fuse(
         # probe re-evaluates the derive plan, which is cheap ONLY for the
         # delta-fed linear rules — never probe when the transitive closure is
         # in the union (it would run the closure twice per round).
-        if not include_trans and not (first_full and rounds == 1) and derived.isEmpty():
+        if not include_trans and derived.isEmpty():
             new = derived.limit(0).localCheckpoint(eager=True)
             has_new = False
         else:
