@@ -451,3 +451,21 @@ def test_bind_rejects_rebinding(spark):
     with pytest.raises(ValueError, match="already bound"):
         bgp(_agg_g(spark), [("?x", vocab.TYPE, "?t")],
             bind={"x": F.lit("nope")}).collect()
+
+
+def test_subquery_composition(spark):
+    # SPARQL §12 subquery shape: aggregate in the inner SELECT, joined back
+    # into the outer pattern — DataFrames compose directly, no special form.
+    from pyspark.sql import functions as F
+
+    from re_shacl_spark.query import aggregate
+
+    g = _g(spark)
+    # inner: how many people does each ?x know
+    inner = aggregate(
+        bgp(g, [("?x", EX + "knows", "?y")]), ["x"], {"n_known": ("count", "y")}
+    )
+    # outer: typed persons, enriched with their out-degree
+    outer = bgp(g, [("?x", vocab.TYPE, EX + "Person")])
+    got = {(r["x"], r["n_known"]) for r in outer.join(inner, "x").collect()}
+    assert got == {(EX + "a", 1), (EX + "b", 1)}
