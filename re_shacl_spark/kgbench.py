@@ -2474,6 +2474,49 @@ QUERIES["sim_ivf_kmeans"] = q_sim_ivf_kmeans
 ORACLES["sim_ivf_kmeans"] = SQL_SIM_IVF_KMEANS
 
 
+def q_emb_quantize(spark, sf_dir):
+    """Symmetric int8 embedding quantization (ops/similarity.py
+    quantize_embeddings) — the 4x storage shrink for the lake's largest
+    column.  floor(x/scale + 0.5) instead of round() because IEEE floor is
+    bit-identical across engines; the oracle recomputes the same math over
+    DuckDB list lambdas.  Integer q_sum/q_min/q_max are exact hash material;
+    scale and max reconstruction error are rounded 6dp as the ulp guard.
+    Zero shuffles — everything rides the scan stage."""
+    emb = _read(spark, sf_dir, "embeddings")
+    q = S.quantize_embeddings(emb)
+    return q.select(
+        F.col("id").alias("vec_id"),
+        F.col("n_dims").cast("long").alias("n_dims"),
+        F.round("scale", 6).alias("scale_r6"),
+        F.array_min("q").cast("long").alias("q_min"),
+        F.array_max("q").cast("long").alias("q_max"),
+        F.aggregate("q", F.lit(0).cast("long"), lambda acc, x: acc + x).alias("q_sum"),
+        F.round("max_abs_err", 6).alias("max_err_r6"),
+    )
+
+
+SQL_EMB_QUANTIZE = """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) maxabs FROM e),
+s AS (SELECT vec_id, v, CASE WHEN maxabs > 0 THEN maxabs / 127 ELSE 1.0 END scale FROM m),
+q AS (SELECT vec_id, v, scale,
+        list_transform(v, x -> greatest(-127.0, least(127.0, floor(x / scale + 0.5)))) qv
+      FROM s)
+SELECT vec_id,
+  len(v)::BIGINT AS n_dims,
+  round(scale, 6) AS scale_r6,
+  list_min(qv)::BIGINT AS q_min,
+  list_max(qv)::BIGINT AS q_max,
+  list_sum(qv)::BIGINT AS q_sum,
+  round(list_max(list_transform(v, x ->
+    abs(x - greatest(-127.0, least(127.0, floor(x / scale + 0.5))) * scale))), 6)
+    AS max_err_r6
+FROM q"""
+
+
+QUERIES["emb_quantize"] = q_emb_quantize
+ORACLES["emb_quantize"] = SQL_EMB_QUANTIZE
+
+
 def q_mm_video_frames(spark, sf_dir):
     """Multimodal: video frame sampling fan-out.  Full-oracle: the sampled
     frame BYTES are compared (as hex) against DuckDB reconstructing the VID0
@@ -3848,6 +3891,7 @@ _EVIDENCE_PRIORITY = [
     "mm_resize",
     "kg_fuse_rdfs_expand",
     "sim_ivf_kmeans",
+    "emb_quantize",
     "bgp_aggregate",
     "bgp_group_concat",
     "bgp_order_limit",

@@ -418,3 +418,30 @@ def test_kmeans_centroids_deterministic_and_clustered(spark):
     # converges; either way every centroid stays a finite 8-dim vector
     c3 = S.kmeans_centroids(emb, k=3, iters=2)
     assert all(len(v) == 8 and all(isinstance(x, float) for x in v) for _, v in c3)
+
+
+def test_quantize_embeddings_roundtrip_and_edges(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, -0.5, 0.25, 0.0]),
+            (1, [0.0, 0.0, 0.0, 0.0]),   # zero vector: scale 1, stays exact
+            (2, [-2.0, 2.0, 1.0, -1.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    rows = {r.id: r for r in S.quantize_embeddings(emb).collect()}
+    # max|x| maps to ±127 exactly; floor(x/scale + 0.5) sends the -63.5
+    # half-point UP to -63 (the floor+0.5 rule, identical in both engines)
+    assert rows[0].q == [127, -63, 32, 0]
+    assert rows[1].q == [0, 0, 0, 0] and rows[1].scale == 1.0
+    assert rows[2].q == [-127, 127, 64, -63]  # ±63.5 half-points both go UP
+    for r in rows.values():
+        assert r.max_abs_err <= r.scale / 2 + 1e-12
+        assert all(-127 <= q <= 127 for q in r.q)
+
+
+def test_quantize_embeddings_deterministic_across_parallelism(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    one = S.quantize_embeddings(emb.coalesce(1)).orderBy("id").collect()
+    many = S.quantize_embeddings(emb.repartition(32)).orderBy("id").collect()
+    assert one == many
