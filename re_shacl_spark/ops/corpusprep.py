@@ -232,3 +232,65 @@ def strip_boilerplate(
         F.sum(F.when(F.col("keep"), 0).otherwise(1)).cast("long").alias("n_dropped"),
     )
     return rebuilt.select(id_col, group_col, "text", "n_kept", "n_dropped")
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    window: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document duplicated-span coverage — the substring-level dedup
+    diagnostic of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better" (exact-substring dedup): how much of each document is made
+    of ``window``-token spans that also occur in some OTHER document.
+
+    Every run of ``window`` consecutive lowercased whitespace tokens is a
+    span; a span is *duplicated* when its text occurs in ≥ 2 distinct
+    documents.  Returns (id_col, n_windows, n_dup_windows, dup_ppm) per
+    document with ≥ 1 window, where dup_ppm = n_dup_windows · 10⁶ DIV
+    n_windows — an exact integer, so the result is bit-stable across
+    partitionings and engines (no float division).
+
+    Scale shape: spans are built per row with ``sequence``/``transform``
+    inside the scan stage (zero shuffle, same trick as ngram_counts) and
+    immediately collapsed to a 16-hex-char md5 key — the exchange carries
+    fixed-width keys, never 16-word strings.  The verdict is one
+    count-distinct-docs aggregation per span key (map-side combined), one
+    join back on the same key (AQE splits the boilerplate hot keys), and one
+    per-document regroup.  Never pairwise: a span shared by 10⁶ documents
+    costs 10⁶ rows, not 10¹² pairs — same posture as minhash_lsh_candidates
+    (ops/dedup.py)."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    words = F.split(F.lower(F.trim(F.col(text_col))), _WS)
+    n_spans = F.size(words) - (window - 1)
+    spans = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.substring(
+            F.md5(F.array_join(F.slice(words, i + 1, window), " ")), 1, 16
+        ),
+    )
+    occ = df.filter(F.size(words) >= window).select(
+        F.col(id_col), F.explode(spans).alias("span_key")
+    )
+    dup = (
+        occ.groupBy("span_key")
+        .agg(F.count_distinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("span_key", F.lit(True).alias("is_dup"))
+    )
+    return (
+        occ.join(dup, "span_key", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).cast("long").alias("n_dup_windows"),
+        )
+        .select(
+            id_col,
+            "n_windows",
+            "n_dup_windows",
+            F.expr("(n_dup_windows * 1000000) div n_windows").alias("dup_ppm"),
+        )
+    )

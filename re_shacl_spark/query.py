@@ -80,6 +80,51 @@ def _term_tag(is_col: Column, lit_col: Column) -> Column:
     ).otherwise(F.lit("I"))
 
 
+def term_is_iri(var: str) -> Column:
+    """SPARQL ``isIRI(?var)`` as a FILTER/BIND expression: usable inside
+    ``bgp(..., where=..., bind=...)``, where the variable's hidden
+    term-identity companion is still in scope (it is dropped only when the
+    solution leaves ``bgp``)."""
+    return F.col(var + _TAG) == "I"
+
+
+def term_is_literal(var: str) -> Column:
+    """SPARQL ``isLiteral(?var)`` — see ``term_is_iri`` for scoping."""
+    return F.col(var + _TAG).startswith("L|")
+
+
+def _tag_part(var: str, idx: int) -> Column:
+    # "L|<dtype>|<lang>" → ["L", dtype, lang]; limit=3 keeps any '|' in the
+    # dtype IRI out of the lang slot (none of our vocab has one, but cheap)
+    return F.element_at(F.split(F.col(var + _TAG), r"\|", 3), idx)
+
+
+def term_lang(var: str) -> Column:
+    """SPARQL ``LANG(?var)``: the language tag of a literal binding, ``''``
+    for plain/typed literals AND for IRIs (SPARQL raises a type error on
+    non-literals, which a FILTER treats as false — returning ``''`` gives the
+    same FILTER behavior for equality/langMatches tests without a null
+    branch)."""
+    return F.when(term_is_literal(var), F.coalesce(_tag_part(var, 3), F.lit(""))).otherwise(
+        F.lit("")
+    )
+
+
+def term_datatype(var: str) -> Column:
+    """SPARQL ``DATATYPE(?var)`` under RDF 1.1: the literal's datatype IRI,
+    ``rdf:langString`` for language-tagged literals, ``xsd:string`` for plain
+    literals, null (unbound/error) for IRIs."""
+    from re_shacl_spark.model.triples import vocab
+
+    dtype, lang = _tag_part(var, 2), _tag_part(var, 3)
+    return F.when(
+        term_is_literal(var),
+        F.when(lang != "", F.lit(vocab.RDF + "langString")).otherwise(
+            F.when(dtype != "", dtype).otherwise(F.lit(vocab.XSD + "string"))
+        ),
+    )
+
+
 def _bind(df: DataFrame, term_cols: list[tuple[str, str, Column]]) -> DataFrame:
     """Bind pattern terms to the frame's columns: constants filter, variables
     project — plus a term-identity companion per variable (a repeated

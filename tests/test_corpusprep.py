@@ -122,3 +122,40 @@ def test_strip_boilerplate_preserves_line_order(spark):
     out = {r.doc_id: r.text for r in C.strip_boilerplate(
         _docs(spark, rows), min_docs=3).collect()}
     assert out[1] == "line 1a\nline 1b"
+
+
+# ---------------------------------------------------------------------------
+# duplicate_span_stats
+# ---------------------------------------------------------------------------
+
+def test_dup_spans_exact_counts(spark):
+    # docs 1/2 share the 3-token span "x y z" (doc 2 embeds it mid-text);
+    # doc 3 is all-unique; doc 4 is shorter than the window
+    docs = _docs(spark, [
+        (1, "s", "x y z tail1"),
+        (2, "s", "head xa x y z"),
+        (3, "s", "p q r s"),
+        (4, "s", "a b"),
+    ])
+    out = {r.doc_id: (r.n_windows, r.n_dup_windows, r.dup_ppm)
+           for r in C.duplicate_span_stats(docs, window=3).collect()}
+    # doc 1: windows {x y z, y z tail1} -> 1 dup of 2 -> 500000 ppm
+    # doc 2: windows {head xa x, xa x y, x y z} -> 1 of 3 -> 333333 ppm
+    assert out == {1: (2, 1, 500_000), 2: (3, 1, 333_333), 3: (2, 0, 0)}
+
+
+def test_dup_spans_within_doc_repeat_is_not_dup(spark):
+    # the span "a b c" occurs twice in ONE doc only: df(span)=1, not a dup
+    docs = _docs(spark, [(1, "s", "a b c q a b c"), (2, "s", "z z z z")])
+    out = {r.doc_id: r.n_dup_windows
+           for r in C.duplicate_span_stats(docs, window=3).collect()}
+    assert out == {1: 0, 2: 0}
+
+
+def test_dup_spans_case_folds_and_rejects_bad_window(spark):
+    docs = _docs(spark, [(1, "s", "A b C d"), (2, "s", "a B c e")])
+    out = {r.doc_id: r.n_dup_windows
+           for r in C.duplicate_span_stats(docs, window=3).collect()}
+    assert out == {1: 1, 2: 1}  # "a b c" shared after lowercasing
+    with pytest.raises(ValueError, match="window"):
+        C.duplicate_span_stats(docs, window=0)

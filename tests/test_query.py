@@ -469,3 +469,52 @@ def test_subquery_composition(spark):
     outer = bgp(g, [("?x", vocab.TYPE, EX + "Person")])
     got = {(r["x"], r["n_known"]) for r in outer.join(inner, "x").collect()}
     assert got == {(EX + "a", 1), (EX + "b", 1)}
+
+
+# ---------------------------------------------------------------------------
+# SPARQL term accessors: LANG / DATATYPE / isIRI / isLiteral
+# ---------------------------------------------------------------------------
+
+def test_term_accessors_lang_datatype_kind(spark):
+    from re_shacl_spark.query import (
+        term_datatype, term_is_iri, term_is_literal, term_lang,
+    )
+
+    rows = [
+        iri_triple(EX + "a", EX + "v", EX + "iri"),
+        lit_triple(EX + "b", EX + "v", "plain"),                       # xsd:string
+        lit_triple(EX + "c", EX + "v", "5", dtype=vocab.XSD + "int"),  # typed
+        lit_triple(EX + "d", EX + "v", "hi", lang="en"),               # lang-tagged
+    ]
+    sol = bgp(
+        triples_df(spark, rows),
+        [("?s", EX + "v", "?o")],
+        bind={
+            "lang": term_lang("o"),
+            "dt": term_datatype("o"),
+            "iri": term_is_iri("o"),
+            "lit": term_is_literal("o"),
+        },
+    )
+    got = {r.s.rsplit("/", 1)[1]: (r.lang, r.dt, r.iri, r.lit) for r in sol.collect()}
+    assert got == {
+        "a": ("", None, True, False),
+        "b": ("", vocab.XSD + "string", False, True),
+        "c": ("", vocab.XSD + "int", False, True),
+        "d": ("en", vocab.RDF + "langString", False, True),
+    }
+
+
+def test_term_accessors_in_filter(spark):
+    from re_shacl_spark.query import term_is_iri, term_lang
+
+    rows = [
+        iri_triple(EX + "a", EX + "v", EX + "iri"),
+        lit_triple(EX + "b", EX + "v", "hallo", lang="de"),
+        lit_triple(EX + "c", EX + "v", "hi", lang="en"),
+    ]
+    t = triples_df(spark, rows)
+    only_en = bgp(t, [("?s", EX + "v", "?o")], where=term_lang("o") == "en")
+    assert [r.s for r in only_en.collect()] == [EX + "c"]
+    only_iri = bgp(t, [("?s", EX + "v", "?o")], where=term_is_iri("o"))
+    assert [r.s for r in only_iri.collect()] == [EX + "a"]
