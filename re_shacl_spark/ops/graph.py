@@ -62,6 +62,7 @@ def pagerank(
     triples: DataFrame,
     iterations: int = 2,
     damping_ppm: int = 850_000,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Deterministic integer PageRank over the triple store's entity graph.
 
@@ -78,12 +79,17 @@ def pagerank(
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
-    edges = entity_edges(triples).localCheckpoint(eager=True)
-    nodes = (
+
+    def ckpt(df: DataFrame) -> DataFrame:
+        # checkpoint=False keeps the full lineage visible for plan audits
+        # (scripts/plan_audit.py); production runs truncate per round
+        return df.localCheckpoint(eager=True) if checkpoint else df
+
+    edges = ckpt(entity_edges(triples))
+    nodes = ckpt(
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     # out-degree is edge-list-sized and reused every round
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
@@ -109,6 +115,6 @@ def pagerank(
                     + F.expr(f"({damping_ppm} * coalesce(m, 0L)) div {SCALE}")
                 ).alias("rank_ppm"),
             )
-            .localCheckpoint(eager=True)  # O(1) lineage across rounds
         )
+        rank = ckpt(rank)  # O(1) lineage across rounds
     return rank

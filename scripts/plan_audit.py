@@ -85,6 +85,13 @@ AUDITED = [
     "emb_quantize",
     "bgp_aggregate",
     "kg_fuse_rdfs_expand",
+    # round 4 (late): PageRank must be hash equi-joins + partial+final sums
+    # (never a nested loop); dup-span stats is explode -> keyed count ->
+    # equi-join-back -> per-doc regroup; the term-accessor BGP is ordinary
+    # pattern scans with the accessors as scan-stage column algebra
+    "kg_pagerank",
+    "corpus_dup_spans",
+    "bgp_term_funcs",
 ]
 
 # queries whose plans must contain NO nested-loop/cartesian join
@@ -99,6 +106,7 @@ NO_NESTED_LOOP = {
     "dedup_ngram_jaccard", "dedup_exact", "sim_ivf_kmeans",
     "corpus_chunk", "corpus_vocab", "corpus_boilerplate",
     "emb_quantize", "bgp_aggregate",
+    "kg_pagerank", "corpus_dup_spans", "bgp_term_funcs",
 }
 
 
@@ -133,7 +141,15 @@ def main() -> None:
     from re_shacl_spark.validate import engine as vengine
 
     for name in AUDITED:
-        df = kgbench.QUERIES[name](spark, SF)
+        if name == "kg_pagerank":
+            # the production path checkpoints every round (opaque plan);
+            # audit the same dataflow with lineage kept visible
+            from re_shacl_spark.ops.graph import pagerank
+
+            df = pagerank(kgbench.rel_triples(spark, SF), iterations=2,
+                          checkpoint=False)
+        else:
+            df = kgbench.QUERIES[name](spark, SF)
         # validation queries return a checkpointed frame (opaque plan);
         # audit the pre-checkpoint dataflow the engine stashed instead
         if name.startswith("v_") and vengine._LAST_PLAN_FRAME is not None:
