@@ -3981,6 +3981,42 @@ ORACLES["bgp_term_funcs"] = SQL_BGP_TERM_FUNCS
 
 
 # ---------------------------------------------------------------------------
+# Bigram LM fluency scoring (ops/textstats.py::lm_transition_score): the
+# perplexity-style corpus quality filter, in exact ppm integer math so the
+# DuckDB mirror is bit-identical (no aggregation-order float drift).
+# ---------------------------------------------------------------------------
+
+def q_text_lm_score(spark, sf_dir):
+    """Self-scored bigram transition fluency per document: corpus-wide
+    c(w1 w2)·10⁶ DIV c(w1 ·) transition ppm, averaged (integer DIV) over
+    each document's bigram occurrences."""
+    from re_shacl_spark.ops.textstats import lm_transition_score
+
+    return lm_transition_score(_read(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_LM_SCORE = r"""WITH w AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS words
+  FROM documents),
+e AS (SELECT doc_id, words, unnest(generate_series(1, len(words)-1)) AS i
+      FROM w WHERE len(words) >= 2),
+occ AS (SELECT doc_id, words[i] AS w1, words[i+1] AS w2 FROM e),
+per_doc AS (SELECT doc_id, w1, w2, count(*)::BIGINT AS k FROM occ GROUP BY 1,2,3),
+c2 AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM occ GROUP BY 1,2),
+c1 AS (SELECT w1, count(*)::BIGINT AS c1 FROM occ GROUP BY 1),
+model AS (SELECT c2.w1, c2.w2, (c2.c2 * 1000000) // c1.c1 AS ppm
+          FROM c2 JOIN c1 USING (w1))
+SELECT d.doc_id, sum(d.k)::BIGINT AS n_bigrams,
+sum(d.k * m.ppm) // sum(d.k) AS lm_score_ppm
+FROM per_doc d JOIN model m ON m.w1 = d.w1 AND m.w2 = d.w2
+GROUP BY 1"""
+
+
+QUERIES["text_lm_score"] = q_text_lm_score
+ORACLES["text_lm_score"] = SQL_TEXT_LM_SCORE
+
+
+# ---------------------------------------------------------------------------
 # Driver evidence ordering.  The grading driver records correctness rows for
 # roughly the first 50 registry entries per round (CORRECTNESS_r01/r02 both
 # truncate at exactly 50, in registry order).  Queries WITHOUT a prior
@@ -4029,6 +4065,7 @@ _EVIDENCE_PRIORITY = [
     "kg_pagerank",
     "corpus_dup_spans",
     "bgp_term_funcs",
+    "text_lm_score",
     # changed in round 4 (exact_dedup pair rows; ngram default now LSH;
     # tokens() long counts; _affected_foci class widening)
     "dedup_exact",

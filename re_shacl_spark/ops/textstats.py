@@ -206,3 +206,55 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
         n_phones.alias("n_phones"),
         clean.alias("text_clean"),
     )
+
+
+def lm_transition_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Bigram language-model fluency score — the perplexity-style quality
+    filter of CCNet/Gopher pipelines, in exact integer arithmetic so the
+    score is bit-stable across partitionings and engines (float perplexity
+    sums are aggregation-order-dependent; this is not).
+
+    The corpus itself is the model (self-scoring, the standard corpus-filter
+    setup): P(w2|w1) ≈ c(w1 w2) / c(w1 ·) over corpus-wide bigram counts,
+    held as parts-per-million integers (c2·10⁶ DIV c1).  Each document
+    scores the mean transition probability over its bigram occurrences:
+    lm_score_ppm = Σ ppm DIV n_bigrams.  Template/boilerplate-heavy text
+    scores high, character noise and word salad score low; documents with
+    < 2 tokens yield no row.
+
+    Returns (doc_id, n_bigrams, lm_score_ppm).
+
+    Scale shape: bigram windows are built scan-stage with array HOFs (zero
+    shuffle), pre-aggregated per (doc, bigram) so the model join touches
+    distinct pairs, not occurrences; the model tables (c2, c1) are one
+    map-side-combined count each, joined back on the bigram key (AQE splits
+    the stop-word hot keys), then one per-doc regroup.  No float ever enters
+    the plan."""
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n_bi = F.size(words) - 1
+    pairs = F.transform(
+        F.sequence(F.lit(1), n_bi),
+        lambda i: F.struct(
+            F.element_at(words, i).alias("w1"),
+            F.element_at(words, i + 1).alias("w2"),
+        ),
+    )
+    occ = (
+        df.filter(F.size(words) >= 2)
+        .select("doc_id", F.explode(pairs).alias("b"))
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    per_doc = occ.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("k"))
+    c2 = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = occ.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    model = c2.join(c1, "w1").select(
+        "w1", "w2", F.expr("(c2 * 1000000) div c1").alias("ppm")
+    )
+    return (
+        per_doc.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_bigrams"),
+            F.expr("sum(k * ppm) div sum(k)").alias("lm_score_ppm"),
+        )
+    )

@@ -445,3 +445,33 @@ def test_quantize_embeddings_deterministic_across_parallelism(spark):
     one = S.quantize_embeddings(emb.coalesce(1)).orderBy("id").collect()
     many = S.quantize_embeddings(emb.repartition(32)).orderBy("id").collect()
     assert one == many
+
+
+# ---------------------------------------------------------------------------
+# lm_transition_score
+# ---------------------------------------------------------------------------
+
+def test_lm_score_hand_computed(spark):
+    from re_shacl_spark.ops.textstats import lm_transition_score
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "a c"), (4, "x")],
+        "doc_id long, text string",
+    )
+    # corpus bigrams: (a,b)x3, (b,a)x1, (a,c)x1 -> c1(a)=4, c1(b)=1
+    # ppm: (a,b)=750000, (b,a)=1000000, (a,c)=250000
+    out = {r.doc_id: (r.n_bigrams, r.lm_score_ppm)
+           for r in lm_transition_score(docs).collect()}
+    # doc 1: [ab, ba, ab] -> (750000+1000000+750000) div 3 = 833333
+    # doc 4: single token -> no row
+    assert out == {1: (3, 833_333), 2: (1, 750_000), 3: (1, 250_000)}
+
+
+def test_lm_score_bit_identical_across_parallelism(spark):
+    from re_shacl_spark.ops.textstats import lm_transition_score
+
+    rows = [(i, " ".join(f"t{(i * j + j) % 13}" for j in range(30))) for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, lm_transition_score(docs.repartition(1)).collect()))
+    b = sorted(map(tuple, lm_transition_score(docs.repartition(11)).collect()))
+    assert a == b and all(isinstance(x[2], int) for x in a)
