@@ -92,6 +92,9 @@ AUDITED = [
     "kg_pagerank",
     "corpus_dup_spans",
     "bgp_term_funcs",
+    # bigram LM: model tables are keyed counts, the model join is an
+    # equi-join on the bigram, per-doc regroup is a hash agg — no NLJ
+    "text_lm_score",
 ]
 
 # queries whose plans must contain NO nested-loop/cartesian join
@@ -106,7 +109,7 @@ NO_NESTED_LOOP = {
     "dedup_ngram_jaccard", "dedup_exact", "sim_ivf_kmeans",
     "corpus_chunk", "corpus_vocab", "corpus_boilerplate",
     "emb_quantize", "bgp_aggregate",
-    "kg_pagerank", "corpus_dup_spans", "bgp_term_funcs",
+    "kg_pagerank", "corpus_dup_spans", "bgp_term_funcs", "text_lm_score",
 }
 
 
