@@ -179,10 +179,22 @@ def fuse(
         # below already uses on its delta).
         _pt = _trace_t()
         step = cur
-        for _ in range(32):
-            nd = engine.derive_linear(step).dropDuplicates(["s", "p", "o"])
+        for _i in range(32):
+            _it = _trace_t()
+            derived = engine.derive_linear(step)
+            # delta-fed rounds (iter ≥ 1): probe the derive BEFORE the
+            # full-graph anti-join — the usual termination round derives
+            # nothing, and the probe re-evaluates only broadcast joins over
+            # the previous delta, vs a whole-graph shuffle.  Never probe
+            # iter 0: its derive scans the entire graph.
+            if _i > 0 and derived.isEmpty():
+                _trace(_it, f"pre-closure iter {_i} empty probe hit")
+                break
+            nd = derived.dropDuplicates(["s", "p", "o"])
             nd = nd.join(cur, ["s", "p", "o"], "left_anti").localCheckpoint(eager=True)
-            if nd.isEmpty():
+            empty = nd.isEmpty()
+            _trace(_it, f"pre-closure iter {_i} empty={empty}")
+            if empty:
                 break
             cur = cur.unionByName(nd)
             step = nd
