@@ -271,9 +271,10 @@ def duplicate_span_stats(
             F.md5(F.array_join(F.slice(words, i + 1, window), " ")), 1, 16
         ),
     )
-    occ = df.filter(F.size(words) >= window).select(
-        F.col(id_col), F.explode(spans).alias("span_key")
-    )
+    # empty/whitespace-only text splits to [''] — zero tokens, not one
+    occ = df.filter(
+        (F.trim(F.col(text_col)) != "") & (F.size(words) >= window)
+    ).select(F.col(id_col), F.explode(spans).alias("span_key"))
     dup = (
         occ.groupBy("span_key")
         .agg(F.count_distinct(id_col).alias("n_docs"))
