@@ -395,3 +395,24 @@ def test_full_materialization_arm(spark):
 
     n_merged = fuse(spark, t, emit_sameas_provenance=False).triples.count()
     assert n_merged < len(expanded) < len(got)
+
+
+def test_linear_preclosure_depth_four_chain(spark):
+    """The pre-closure's empty-probe (delta-fed iterations break before the
+    full-graph anti-join) must still walk a depth-4 linear composition:
+    p1 ⊑ p2 ⊑ p3 ⊑ p4 with one p1 edge needs four iterations before the
+    probe may fire, and every level's edge plus its range typing must land."""
+    from re_shacl_spark.model.triples import iri_triple, triples_df, vocab
+    from re_shacl_spark.pipeline import fuse
+
+    rows = [
+        iri_triple("p1", vocab.SUBPROP, "p2"),
+        iri_triple("p2", vocab.SUBPROP, "p3"),
+        iri_triple("p3", vocab.SUBPROP, "p4"),
+        iri_triple("p4", vocab.RANGE, "C"),
+        iri_triple("a", "p1", "b"),
+    ]
+    res = fuse(spark, triples_df(spark, rows))
+    got = {(r.s, r.p, r.o) for r in res.triples.collect()}
+    assert {("a", "p2", "b"), ("a", "p3", "b"), ("a", "p4", "b"),
+            ("b", vocab.TYPE, "C")} <= got
