@@ -2227,7 +2227,8 @@ c AS (
          sum(bpe_tokens) OVER (ORDER BY h, doc_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bpe_tokens AS strt
   FROM t)
-SELECT doc_id, bpe_tokens, strt // 512 AS seq_id, strt % 512 AS seq_off FROM c"""
+SELECT doc_id, bpe_tokens, (strt // 512)::BIGINT AS seq_id,
+       (strt % 512)::BIGINT AS seq_off FROM c"""
 
 
 def q_corpus_mixture(spark, sf_dir):
@@ -4007,7 +4008,7 @@ c1 AS (SELECT w1, count(*)::BIGINT AS c1 FROM occ GROUP BY 1),
 model AS (SELECT c2.w1, c2.w2, (c2.c2 * 1000000) // c1.c1 AS ppm
           FROM c2 JOIN c1 USING (w1))
 SELECT d.doc_id, sum(d.k)::BIGINT AS n_bigrams,
-sum(d.k * m.ppm) // sum(d.k) AS lm_score_ppm
+(sum(d.k * m.ppm) // sum(d.k))::BIGINT AS lm_score_ppm
 FROM per_doc d JOIN model m ON m.w1 = d.w1 AND m.w2 = d.w2
 GROUP BY 1"""
 

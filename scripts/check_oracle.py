@@ -61,12 +61,26 @@ def main():
         try:
             rel = con.sql(sql)
             dcols = rel.columns
+            dtypes = [str(t) for t in rel.types]
             drows = rel.fetchall()
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {e}")
             continue
         ok = True
+        # dtype parity: the driver hash is dtype-sensitive (r4 HUGEINT reds),
+        # so a DuckDB type Spark can't emit fails here even with equal values
+        _DTYPE_MAP = {
+            "BIGINT": {"bigint"}, "INTEGER": {"int", "bigint"},
+            "DOUBLE": {"double"}, "VARCHAR": {"string"},
+            "BOOLEAN": {"boolean"},
+        }
+        stypes = dict(sdf.dtypes)
+        for c, dt in zip(dcols, dtypes):
+            spark_ok = _DTYPE_MAP.get(dt)
+            if spark_ok is None or (c in stypes and stypes[c] not in spark_ok):
+                ok = False
+                print(f"FAIL {name}: dtype {c}: duck={dt} spark={stypes.get(c)}")
         if sorted(scols) != sorted(dcols):
             ok = False
             print(f"FAIL {name}: columns spark={scols} duck={dcols}")
