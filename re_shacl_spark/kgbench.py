@@ -49,6 +49,20 @@ SAMEAS = vocab.SAMEAS
 DIFFERENT = vocab.DIFFERENT
 OWL = vocab.OWL
 
+# Explicit whitespace classes on the Spark↔DuckDB oracle boundary (VERDICT r4
+# What's-wrong #2): Java's \s includes \x0B, RE2's does not, so bare \s in the
+# oracles diverges from the Spark side on vertical tab.  SQL_WSP mirrors the
+# column-algebra side (ops/textstats.WS_CHARS == Java \s, RE2 reads the same
+# escapes); SQL_PY_WSP mirrors Python str.split()'s Unicode whitespace set for
+# the twins of the Python-side extractor (extract/html.py " ".join(s.split()))
+# — White_Space ∪ {\x1c-\x1f}, verified exhaustive over the BMP in
+# tests/test_hostile_ws.py.
+SQL_WSP = "[" + TS.WS_CHARS + "]+"
+SQL_PY_WSP = (
+    r"[\t-\r \x1c-\x1f\x85\xa0"
+    r"\x{1680}\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]+"
+)
+
 def _null_lit() -> F.Column:
     # built lazily: Column construction needs an active SparkContext
     return F.lit(None).cast(O_LIT_TYPE)
@@ -732,8 +746,8 @@ def q_kg_extract_text(spark, sf_dir):
     return extract_text(pages).select("url", "text")
 
 
-SQL_KG_EXTRACT = r"""SELECT 'https://d/'||doc_id::varchar AS url,
-trim(regexp_replace(coalesce(text,''), '\s+', ' ', 'g')) AS text
+SQL_KG_EXTRACT = f"""SELECT 'https://d/'||doc_id::varchar AS url,
+trim(regexp_replace(coalesce(text,''), '{SQL_PY_WSP}', ' ', 'g')) AS text
 FROM documents"""
 
 MENTION_ALIASES: list[tuple[str, str, float]] = [
@@ -758,7 +772,7 @@ def q_kg_mentions(spark, sf_dir):
 def _sql_mentions_cte() -> str:
     parts = [
         f"""SELECT 'https://d/'||doc_id::varchar AS url, '{a}' AS alias, '{e}' AS entity,
-len(regexp_extract_all(lower(trim(regexp_replace(coalesce(text,''), '\\s+', ' ', 'g'))), '\\b{a}\\b'))::BIGINT AS n
+len(regexp_extract_all(lower(trim(regexp_replace(coalesce(text,''), '{SQL_PY_WSP}', ' ', 'g'))), '\\b{a}\\b'))::BIGINT AS n
 FROM documents"""
         for a, e, _ in MENTION_ALIASES
     ]
@@ -799,7 +813,7 @@ def _docs_with_dups(spark, sf_dir):
     exact = d.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
-    words = F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+")
+    words = F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), TS.TOKEN_SPLIT)
     prefix_len = F.greatest(F.floor(F.size(words) * 0.8).cast("int"), F.lit(1))
     near = d.filter(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 2000000).alias("doc_id"),
@@ -808,16 +822,16 @@ def _docs_with_dups(spark, sf_dir):
     return d.unionByName(exact).unionByName(near)
 
 
-SQL_DOCS_CTE = r"""docs(doc_id, text) AS (
+SQL_DOCS_CTE = f"""docs(doc_id, text) AS (
   SELECT doc_id, text FROM documents
   UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
   UNION ALL SELECT doc_id + 2000000,
     array_to_string(w[1:greatest(floor(len(w)*0.8)::int, 1)], ' ')
-  FROM (SELECT doc_id, string_split_regex(trim(coalesce(text,'')), '\s+') w FROM documents)
+  FROM (SELECT doc_id, string_split_regex(trim(coalesce(text,'')), '{SQL_WSP}') w FROM documents)
   WHERE doc_id % 7 = 0
 )"""
 
-_SQL_NORM = r"regexp_replace(lower(trim(coalesce(text,''))), '\s+', ' ', 'g')"
+_SQL_NORM = f"regexp_replace(lower(trim(coalesce(text,''))), '{SQL_WSP}', ' ', 'g')"
 
 
 def q_dedup_exact(spark, sf_dir):
@@ -1017,9 +1031,9 @@ def q_text_tokens(spark, sf_dir):
     )
 
 
-SQL_TEXT_TOKENS = r"""SELECT doc_id,
-len(string_split_regex(trim(coalesce(text,'')), '\s+'))::BIGINT AS ws_tokens,
-len(regexp_extract_all(coalesce(text,''), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS bpe_tokens,
+SQL_TEXT_TOKENS = f"""SELECT doc_id,
+len(string_split_regex(trim(coalesce(text,'')), '{SQL_WSP}'))::BIGINT AS ws_tokens,
+len(regexp_extract_all(coalesce(text,''), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9{TS.WS_CHARS}]'))::BIGINT AS bpe_tokens,
 len(coalesce(text,''))::BIGINT AS chars
 FROM documents"""
 
@@ -1041,9 +1055,9 @@ def q_text_quality(spark, sf_dir):
 _SQL_STOP_EN = "','".join(TS.LANG_PROFILES["en"])
 SQL_TEXT_QUALITY = rf"""WITH b AS (
   SELECT doc_id,
-    string_split_regex(trim(coalesce(text,'')), '\s+') words,
+    string_split_regex(trim(coalesce(text,'')), '{SQL_WSP}') words,
     len(coalesce(text,''))::BIGINT n_chars,
-    len(regexp_extract_all(coalesce(text,''), '[^\w\s]'))::BIGINT n_punct,
+    len(regexp_extract_all(coalesce(text,''), '[^\w{TS.WS_CHARS}]'))::BIGINT n_punct,
     len(regexp_extract_all(coalesce(text,''), '[A-Z]'))::BIGINT n_upper
   FROM documents
 ), c AS (
@@ -1081,7 +1095,7 @@ def _sql_langid() -> str:
     best = "greatest(" + ", ".join(f"h_{lg}" for lg in langs) + ")"
     pred = "CASE " + " ".join(f"WHEN h_{lg} = best THEN '{lg}'" for lg in langs) + " END"
     return rf"""WITH b AS (
-  SELECT doc_id, string_split_regex(trim(lower(coalesce(text,''))), '\s+') words FROM documents
+  SELECT doc_id, string_split_regex(trim(lower(coalesce(text,''))), '{SQL_WSP}') words FROM documents
 ), h AS (SELECT doc_id, {', '.join(hit_cols)} FROM b),
 g AS (SELECT doc_id, h_de, h_en, h_es, h_fr, {best} best FROM h)
 SELECT doc_id, {pred} AS pred_lang, best AS lang_hits FROM g"""
@@ -1109,8 +1123,8 @@ def q_text_repetition(spark, sf_dir):
     )
 
 
-SQL_TEXT_REPETITION = r"""WITH b AS (
-  SELECT doc_id, string_split_regex(lower(trim(coalesce(text,''))), '\s+') w,
+SQL_TEXT_REPETITION = rf"""WITH b AS (
+  SELECT doc_id, string_split_regex(lower(trim(coalesce(text,''))), '{SQL_WSP}') w,
          length(lower(trim(coalesce(text,'')))) nc
   FROM documents
 ),
@@ -2151,7 +2165,7 @@ dups AS (
   SELECT h.doc_id FROM h JOIN (SELECT fp, min(doc_id) k, count(*) n FROM h GROUP BY fp) g
   USING (fp) WHERE g.n > 1 AND h.doc_id != g.k
 ),
-tok AS (SELECT doc_id, len(string_split_regex(trim(coalesce(text,'')), '\\s+'))::BIGINT ws_tokens FROM docs)
+tok AS (SELECT doc_id, len(string_split_regex(trim(coalesce(text,'')), '{SQL_WSP}'))::BIGINT ws_tokens FROM docs)
 SELECT d.doc_id, lid.pred_lang, qual.quality, tok.ws_tokens
 FROM docs d
 JOIN lid USING (doc_id) JOIN qual USING (doc_id) JOIN tok USING (doc_id)
@@ -2219,7 +2233,7 @@ def q_corpus_pack(spark, sf_dir):
 
 SQL_CORPUS_PACK = f"""WITH t AS (
   SELECT doc_id,
-         len(regexp_extract_all(coalesce(text,''), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT bpe_tokens,
+         len(regexp_extract_all(coalesce(text,''), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9{TS.WS_CHARS}]'))::BIGINT bpe_tokens,
          {_HASH64.format(key="doc_id::varchar")} h
   FROM documents),
 c AS (
@@ -3582,7 +3596,7 @@ def _sql_ambig_cte() -> str:
     parts = [
         f"""SELECT 'https://d/'||doc_id::varchar AS url, '{a}' AS alias, '{e}' AS entity,
 {p} AS prior,
-len(regexp_extract_all(lower(trim(regexp_replace(coalesce(text,''), '\\s+', ' ', 'g'))), '\\b{a}\\b'))::BIGINT AS n
+len(regexp_extract_all(lower(trim(regexp_replace(coalesce(text,''), '{SQL_PY_WSP}', ' ', 'g'))), '\\b{a}\\b'))::BIGINT AS n
 FROM documents"""
         for a, e, p in AMBIG_ALIASES
     ]
@@ -3739,8 +3753,8 @@ def q_corpus_chunk(spark, sf_dir):
     return C.chunk_documents(docs, chunk_tokens=32, overlap=8)
 
 
-SQL_CORPUS_CHUNK = r"""WITH w AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+SQL_CORPUS_CHUNK = f"""WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '{SQL_WSP}') AS words
   FROM documents WHERE length(trim(text)) > 0),
 c AS (SELECT doc_id, words, len(words) AS n,
       ceil(greatest(len(words) - 8, 1) / 24.0)::BIGINT AS nc FROM w),
@@ -3760,8 +3774,8 @@ def q_corpus_vocab(spark, sf_dir):
     return C.vocab_topk(_read(spark, sf_dir, "documents"), k=50)
 
 
-SQL_CORPUS_VOCAB = r"""WITH occ AS (
-  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+SQL_CORPUS_VOCAB = f"""WITH occ AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '{SQL_WSP}')) AS word
   FROM documents)
 SELECT word, count(*)::BIGINT AS tf, count(DISTINCT doc_id)::BIGINT AS df
 FROM occ WHERE word <> '' GROUP BY 1 ORDER BY tf DESC, word LIMIT 50"""
@@ -3776,8 +3790,8 @@ def q_corpus_ngrams(spark, sf_dir):
     return C.ngram_counts(_read(spark, sf_dir, "documents"), n=3, min_count=5)
 
 
-SQL_CORPUS_NGRAMS = r"""WITH w AS (
-  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS words FROM documents),
+SQL_CORPUS_NGRAMS = f"""WITH w AS (
+  SELECT regexp_split_to_array(lower(trim(text)), '{SQL_WSP}') AS words FROM documents),
 e AS (SELECT words, unnest(generate_series(1, len(words)-2)) AS i
       FROM w WHERE len(words) >= 3),
 g AS (SELECT array_to_string(words[i:(i+2)::INT], ' ') AS ngram FROM e)
@@ -3880,11 +3894,11 @@ deg AS (SELECT src, count(*)::BIGINT AS d FROM e GROUP BY 1),
 r0 AS (SELECT node, 1000000::BIGINT AS r FROM nodes),
 c1 AS (SELECT e.dst AS node, sum(r0.r // deg.d)::BIGINT AS m
        FROM e JOIN deg USING (src) JOIN r0 ON r0.node = e.src GROUP BY 1),
-r1 AS (SELECT n.node, (150000 + (850000 * coalesce(c1.m, 0)) // 1000000)::BIGINT AS r
+r1 AS (SELECT n.node, (150000 + (850000 * coalesce(c1.m, 0)::HUGEINT) // 1000000)::BIGINT AS r
        FROM nodes n LEFT JOIN c1 USING (node)),
 c2 AS (SELECT e.dst AS node, sum(r1.r // deg.d)::BIGINT AS m
        FROM e JOIN deg USING (src) JOIN r1 ON r1.node = e.src GROUP BY 1)
-SELECT n.node, (150000 + (850000 * coalesce(c2.m, 0)) // 1000000)::BIGINT AS rank_ppm
+SELECT n.node, (150000 + (850000 * coalesce(c2.m, 0)::HUGEINT) // 1000000)::BIGINT AS rank_ppm
 FROM nodes n LEFT JOIN c2 USING (node)"""
 
 
@@ -3908,8 +3922,8 @@ def q_corpus_dup_spans(spark, sf_dir):
     return C.duplicate_span_stats(_read(spark, sf_dir, "documents"), window=8)
 
 
-SQL_CORPUS_DUP_SPANS = r"""WITH w AS (
-  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS words
+SQL_CORPUS_DUP_SPANS = f"""WITH w AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '{SQL_WSP}') AS words
   FROM documents),
 e AS (SELECT doc_id, words, unnest(generate_series(1, len(words)-7)) AS i
       FROM w WHERE len(words) >= 8),
@@ -3996,8 +4010,8 @@ def q_text_lm_score(spark, sf_dir):
     return lm_transition_score(_read(spark, sf_dir, "documents"))
 
 
-SQL_TEXT_LM_SCORE = r"""WITH w AS (
-  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS words
+SQL_TEXT_LM_SCORE = f"""WITH w AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '{SQL_WSP}') AS words
   FROM documents),
 e AS (SELECT doc_id, words, unnest(generate_series(1, len(words)-1)) AS i
       FROM w WHERE len(words) >= 2),
@@ -4005,7 +4019,7 @@ occ AS (SELECT doc_id, words[i] AS w1, words[i+1] AS w2 FROM e),
 per_doc AS (SELECT doc_id, w1, w2, count(*)::BIGINT AS k FROM occ GROUP BY 1,2,3),
 c2 AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM occ GROUP BY 1,2),
 c1 AS (SELECT w1, count(*)::BIGINT AS c1 FROM occ GROUP BY 1),
-model AS (SELECT c2.w1, c2.w2, (c2.c2 * 1000000) // c1.c1 AS ppm
+model AS (SELECT c2.w1, c2.w2, (c2.c2::HUGEINT * 1000000) // c1.c1 AS ppm
           FROM c2 JOIN c1 USING (w1))
 SELECT d.doc_id, sum(d.k)::BIGINT AS n_bigrams,
 (sum(d.k * m.ppm) // sum(d.k))::BIGINT AS lm_score_ppm

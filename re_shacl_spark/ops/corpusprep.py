@@ -26,12 +26,13 @@ here are Spark-native:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .sampling import _key_hash
-
-_WS = r"\s+"
+from .textstats import TOKEN_SPLIT as _WS
 
 
 def _words(text_col: str) -> F.Column:
@@ -202,7 +203,9 @@ def strip_boilerplate(
         df.select(
             F.col(id_col),
             F.col(group_col),
-            F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias("pos", "line"),
+            # F.split takes a Java regex but array_join below rejoins sep
+            # literally — escape it so '|' or '.' separators split literally
+            F.posexplode(F.split(F.col(text_col), F.lit(re.escape(sep)))).alias("pos", "line"),
         )
         .withColumn("line", F.trim(F.col("line")))
     )

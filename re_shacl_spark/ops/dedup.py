@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .textstats import TOKEN_SPLIT
+
 P31 = 2_147_483_647  # 2^31 - 1, Mersenne prime — universal-hash modulus
 
 # deterministic (a, b) parameters for K universal hashes h_k(x) = (a*x + b) % P
@@ -74,7 +76,7 @@ def lsh_params_for(jaccard_threshold: float, k_max: int = 256) -> tuple[int, int
 
 
 def _norm_text(text_col: str = "text") -> F.Column:
-    return F.regexp_replace(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+", " ")
+    return F.regexp_replace(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), TOKEN_SPLIT, " ")
 
 
 def _shingles(text_col: str = "text", n: int = 3) -> F.Column:
@@ -151,7 +153,9 @@ def minhash_lsh_candidates(
     b2 = sig.select(F.col("doc_id").alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(k)])
     out = cands.join(a, "id_a").join(b2, "id_b")
     match = sum(F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(k))
-    return out.select("id_a", "id_b", match.alias("matching_hashes"))
+    # long keeps the count off the int32/int64 oracle-comparison boundary
+    # (the r3 corpus_pack red; same rule as textstats.tokens)
+    return out.select("id_a", "id_b", match.cast("long").alias("matching_hashes"))
 
 
 def simhash(df: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:

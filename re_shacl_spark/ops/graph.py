@@ -112,7 +112,14 @@ def pagerank(
                 "node",
                 (
                     F.lit(base).cast("long")
-                    + F.expr(f"({damping_ppm} * coalesce(m, 0L)) div {SCALE}")
+                    # decimal(38,0) intermediate: d*m in bigint overflows once
+                    # a hub's summed in-contributions pass ~1.08e13 ppm
+                    # (~10^7 nodes' mass) — reachable below the 10^12-edge
+                    # target; IntegralDivide on decimal returns bigint
+                    + F.expr(
+                        f"(cast(coalesce(m, 0L) as decimal(38,0))"
+                        f" * {damping_ppm}) div {SCALE}"
+                    )
                 ).alias("rank_ppm"),
             )
         )

@@ -41,6 +41,10 @@ from re_shacl_spark.reasoning.tbox import TBoxIndex, build_tbox_index, extract_t
 from re_shacl_spark.session import ensure_fixpoint_confs
 
 MAX_ROUNDS = 25  # reference caps at 25_000 (closure_engine.py:39) — log-round CC
+# linear pre-closure iteration budget: composition depth is tiny in practice
+# (≤4); if the budget runs out unconverged, round 1 of the main fixpoint
+# falls back to deriving (see `preclosed`) instead of dropping derivations
+LINEAR_PRECLOSE_BUDGET = 32
 #                  plus closed TBox maps converge in a handful of rounds.
 
 
@@ -179,7 +183,8 @@ def fuse(
         # below already uses on its delta).
         _pt = _trace_t()
         step = cur
-        for _i in range(32):
+        preclosed = False  # True only when the loop PROVED an empty delta
+        for _i in range(LINEAR_PRECLOSE_BUDGET):
             _it = _trace_t()
             derived = engine.derive_linear(step)
             # delta-fed rounds (iter ≥ 1): probe the derive BEFORE the
@@ -189,12 +194,14 @@ def fuse(
             # iter 0: its derive scans the entire graph.
             if _i > 0 and derived.isEmpty():
                 _trace(_it, f"pre-closure iter {_i} empty probe hit")
+                preclosed = True
                 break
             nd = derived.dropDuplicates(["s", "p", "o"])
             nd = nd.join(cur, ["s", "p", "o"], "left_anti").localCheckpoint(eager=True)
             empty = nd.isEmpty()
             _trace(_it, f"pre-closure iter {_i} empty={empty}")
             if empty:
+                preclosed = True
                 break
             cur = cur.unionByName(nd)
             step = nd
@@ -213,10 +220,12 @@ def fuse(
             d = canonicalize_triples(d, rep_map, broadcast=n_rep <= BROADCAST_REP_MAP_MAX_ROWS)
         acc = d.localCheckpoint(eager=True)
         step = acc
-        for _ in range(32):  # linear rule composition depth is tiny (≤4)
+        preclosed = False
+        for _ in range(LINEAR_PRECLOSE_BUDGET):  # composition depth is tiny (≤4)
             nd = engine.derive_linear(step).dropDuplicates(["s", "p", "o"])
             nd = nd.join(acc, ["s", "p", "o"], "left_anti").localCheckpoint(eager=True)
             if nd.isEmpty():
+                preclosed = True
                 break
             acc = acc.unionByName(nd)
             step = nd
@@ -254,8 +263,11 @@ def fuse(
 
         # round 1's graph is already linearly closed (the pre-closure above,
         # both the full and the incremental path) — skip the re-derivation
-        # AND its full-graph anti-join
-        if rounds == 1:
+        # AND its full-graph anti-join.  If the 32-iteration pre-closure
+        # budget ran out without proving an empty delta (a >32-level linear
+        # composition), fall back to deriving here instead of silently
+        # dropping derivations.
+        if rounds == 1 and preclosed:
             derived = delta.limit(0)
         else:
             derived = engine.derive_linear(delta)

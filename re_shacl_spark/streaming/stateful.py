@@ -42,6 +42,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..ops.textstats import TOKEN_SPLIT
+
 OUT_SCHEMA = "doc_id long, fp string, text string"
 STATE_SCHEMA = "seen boolean"
 
@@ -60,7 +62,7 @@ def _emit_first(key, pdfs, state: GroupState):
 
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Content fingerprint identical to ops/dedup.exact_dedup's normalization."""
-    norm = F.regexp_replace(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), r"\s+", " ")
+    norm = F.regexp_replace(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), TOKEN_SPLIT, " ")
     return docs.select("doc_id", F.md5(norm).alias("fp"), "text")
 
 

@@ -159,3 +159,18 @@ def test_dup_spans_case_folds_and_rejects_bad_window(spark):
     assert out == {1: 1, 2: 1}  # "a b c" shared after lowercasing
     with pytest.raises(ValueError, match="window"):
         C.duplicate_span_stats(docs, window=0)
+
+
+def test_strip_boilerplate_regex_significant_separator(spark):
+    """sep goes through F.split (a Java regex) but array_join rejoins it
+    literally — a '|' separator must split literally, not as alternation
+    (which splits between every character)."""
+    rows = [
+        (1, "g", "NAV|unique one|NAV"),
+        (2, "g", "NAV|unique two|NAV"),
+        (3, "g", "NAV|unique three|NAV"),
+    ]
+    out = {r.doc_id: r for r in C.strip_boilerplate(
+        _docs(spark, rows), min_docs=3, sep="|").collect()}
+    assert out[1].text == "unique one" and out[1].n_dropped == 2
+    assert out[3].text == "unique three" and out[3].n_kept == 1

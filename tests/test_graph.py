@@ -81,3 +81,40 @@ def test_pagerank_bit_identical_across_parallelism(spark):
 def test_pagerank_rejects_zero_iterations(spark):
     with pytest.raises(ValueError, match="iterations"):
         pagerank(_triples(spark, [("a", "p", "b")]), iterations=0)
+
+
+def test_pagerank_hub_mass_beyond_bigint_multiply(spark):
+    """(damping * m) in bigint overflows once a hub's summed in-contributions
+    m pass ~1.08e13 ppm (~10^7 nodes' mass); the decimal(38,0) intermediate
+    must stay exact there.  Evaluated on the rank-update expression itself —
+    materializing 10^7 edges in a unit test is not the point."""
+    big_m = 20_000_000_000_000  # 2e13 ppm: 850000 * m = 1.7e19 > 2^63-1
+    row = spark.createDataFrame([(big_m,)], "m long")
+    got = row.select(
+        F.expr(
+            "cast(150000 as long) + (cast(coalesce(m, 0L) as decimal(38,0)) * 850000) div 1000000"
+        ).alias("rank_ppm")
+    ).collect()[0].rank_ppm
+    assert got == 150_000 + (850_000 * big_m) // 1_000_000
+    # and the column type stays long (the oracle-comparison boundary)
+    dt = dict(
+        row.select(
+            F.expr(
+                "cast(150000 as long) + (cast(coalesce(m, 0L) as decimal(38,0)) * 850000) div 1000000"
+            ).alias("rank_ppm")
+        ).dtypes
+    )
+    assert dt["rank_ppm"] == "bigint"
+
+
+def test_lm_ppm_beyond_bigint_multiply(spark):
+    """lm_transition_score's ppm: (c2*1e6) overflows bigint once a single
+    corpus-wide bigram count passes ~9.2e12; the decimal intermediate is
+    exact and returns bigint."""
+    c2, c1 = 10_000_000_000_000, 40_000_000_000_000
+    row = spark.createDataFrame([(c2, c1)], "c2 long, c1 long")
+    out = row.select(
+        F.expr("(cast(c2 as decimal(38,0)) * 1000000) div c1").alias("ppm")
+    )
+    assert out.collect()[0].ppm == (c2 * 1_000_000) // c1 == 250_000
+    assert dict(out.dtypes)["ppm"] == "bigint"
