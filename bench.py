@@ -304,6 +304,28 @@ def main() -> None:
         pass
 
     total = round(sum(per_q.values()), 3)
+    # the grading driver captures a bounded tail of stdout: r4's single line
+    # grew past the window and lost its head ("parsed": null — VERDICT r4 #4).
+    # Keep the printed line SHORT (medians + total only) and park the detail
+    # blocks (min/max spreads, ablations, increments, calibration) in
+    # BENCH_DETAIL.json next to this script.
+    detail = {
+        "runs": n_runs,
+        "queries_min": per_q_min,
+        "queries_max": per_q_max,
+        "expand_ablation": expand_blowup,
+        "delta_increment": delta_increment,
+        "incremental_validation": inc_validation,
+        "rows": rows,
+        "box_calibration": box_cal,
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        pass
     print(
         json.dumps(
             {
@@ -311,18 +333,12 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_q,
-                "runs": n_runs,
-                "queries_min": per_q_min,
-                "queries_max": per_q_max,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "runs": n_runs,
                 "triples_per_sec": triples_per_sec,
                 "fuse_stress_triples_per_sec": fuse_stress,
-                "expand_ablation": expand_blowup,
-                "delta_increment": delta_increment,
-                "incremental_validation": inc_validation,
-                "rows": rows,
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
-                "box_calibration": box_cal,
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )

@@ -1010,14 +1010,52 @@ WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.95"""
 
 
 def q_sim_lsh_topk(spark, sf_dir):
-    """LSH-bucketed ANN (rows-only check: hyperplane constants are impractical
-    to mirror in SQL; correctness vs brute force asserted in tests)."""
+    """LSH-bucketed ANN: the hyperplanes are deterministic integer arithmetic
+    (ops/similarity.py _hyperplane), so the oracle embeds the same 32 plane
+    vectors as literals and mirrors bucket assignment → candidate bucket join
+    → cosine top-k in SQL (bucket parity Spark↔DuckDB verified exact in
+    tests/test_ops.py::test_lsh_bucket_parity_duckdb)."""
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     out = S.lsh_topk(emb, queries, dim=64, k=5)
     return out.select("q_id", "nn_id", "cosine", F.col("rank").cast("long").alias("rank"))
+
+
+def _sql_lsh_bucket(table: int, dim: int = 64, n_bits: int = 8) -> str:
+    """DuckDB expression for one table's sign-bucket over column ``v`` —
+    the literal-embedded twin of ops/similarity.lsh_signatures."""
+    terms = []
+    for b in range(n_bits):
+        plane = "[" + ",".join(repr(x) for x in S._hyperplane(table, b, dim)) + "]"
+        terms.append(f"CASE WHEN list_dot_product(v, {plane}) >= 0 THEN {2 ** b} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")::BIGINT"
+
+
+def _sql_lsh_topk(n_tables: int = 4, k: int = 5) -> str:
+    sig = " UNION ALL ".join(
+        f"SELECT vec_id AS id, {t} AS tbl, {_sql_lsh_bucket(t)} AS bucket FROM e"
+        for t in range(n_tables)
+    )
+    qsig = " UNION ALL ".join(
+        f"SELECT q_id, {t} AS tbl, {_sql_lsh_bucket(t)} AS bucket FROM (SELECT q_id, qv AS v FROM q)"
+        for t in range(n_tables)
+    )
+    return f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+q AS (SELECT vec_id q_id, v qv FROM e WHERE vec_id < 8),
+sig AS ({sig}),
+qsig AS ({qsig}),
+cands AS (SELECT DISTINCT qs.q_id, s.id nn_id
+          FROM sig s JOIN qsig qs ON s.tbl = qs.tbl AND s.bucket = qs.bucket
+          WHERE s.id != qs.q_id),
+sc AS (SELECT c.q_id, c.nn_id, round(list_cosine_similarity(q.qv, e.v), 6) cosine
+       FROM cands c JOIN e ON e.vec_id = c.nn_id JOIN q ON q.q_id = c.q_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, nn_id) rank FROM sc)
+SELECT q_id, nn_id, cosine, rank FROM r WHERE rank <= {k}"""
+
+
+SQL_SIM_LSH_TOPK = _sql_lsh_topk()
 
 
 def q_text_tokens(spark, sf_dir):
@@ -1309,7 +1347,7 @@ ORACLES = {
     "text_langid": SQL_TEXT_LANGID,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "rel_q1": SQL_REL_Q1,
-    # sim_lsh_topk: rows-only (hyperplane constants impractical in SQL)
+    "sim_lsh_topk": SQL_SIM_LSH_TOPK,
 }
 
 # ---------------------------------------------------------------------------
@@ -3906,6 +3944,49 @@ QUERIES["kg_pagerank"] = q_kg_pagerank
 ORACLES["kg_pagerank"] = SQL_KG_PAGERANK
 
 
+def q_kg_pagerank_n5(spark, sf_dir):
+    """Five PageRank iterations — driver evidence for the FIXPOINT behavior
+    (VERDICT r4 next #7: two unrolled steps pin the update rule, not the
+    loop).  Same integer-ppm arithmetic, so the oracle unrolls all five
+    rounds as generated CTEs and still matches bit-for-bit."""
+    from re_shacl_spark.ops.graph import pagerank
+
+    return pagerank(rel_triples(spark, sf_dir), iterations=5)
+
+
+def _sql_pagerank(iterations: int) -> str:
+    """Generator-unrolled twin of ops/graph.pagerank at any iteration count:
+    cN aggregates round N's in-contributions, rN applies the decimal-exact
+    rank update (HUGEINT mirror of the Spark side's decimal(38,0))."""
+    parts = [
+        REL_TRIPLES_CTE.strip(),
+        "e AS (SELECT DISTINCT s AS src, o AS dst FROM base)",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "deg AS (SELECT src, count(*)::BIGINT AS d FROM e GROUP BY 1)",
+        "r0 AS (SELECT node, 1000000::BIGINT AS r FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"c{i} AS (SELECT e.dst AS node, sum(r{i-1}.r // deg.d)::BIGINT AS m"
+            f" FROM e JOIN deg USING (src) JOIN r{i-1} ON r{i-1}.node = e.src GROUP BY 1)"
+        )
+        upd = f"(150000 + (850000 * coalesce(c{i}.m, 0)::HUGEINT) // 1000000)::BIGINT"
+        if i < iterations:
+            parts.append(
+                f"r{i} AS (SELECT n.node, {upd} AS r FROM nodes n LEFT JOIN c{i} USING (node))"
+            )
+        else:
+            return (
+                "WITH " + ",\n".join(parts)
+                + f"\nSELECT n.node, {upd} AS rank_ppm FROM nodes n LEFT JOIN c{i} USING (node)"
+            )
+    raise AssertionError("iterations must be >= 1")
+
+
+QUERIES["kg_pagerank_n5"] = q_kg_pagerank_n5
+ORACLES["kg_pagerank_n5"] = _sql_pagerank(5)
+
+
 # ---------------------------------------------------------------------------
 # Substring-level dedup diagnostic (ops/corpusprep.py::duplicate_span_stats):
 # Lee-et-al-style duplicated-span coverage per document — the exact-substring
@@ -4041,83 +4122,137 @@ ORACLES["text_lm_score"] = SQL_TEXT_LM_SCORE
 # ---------------------------------------------------------------------------
 
 _EVIDENCE_PRIORITY = [
-    # ---- the 50-query driver window (VERDICT r3 next #1): lead with every
-    # query that lacks a current green driver row ----
-    # the r3 red (dtype fixed this round: tokens() now emits long)
+    # ---- the ~50-query driver window, round 5 rotation (VERDICT r4 next
+    # #2): reds-now-fixed first, then every query whose implementation
+    # changed since its last green driver row — the r4 BGP/term-identity
+    # machinery rewrite (45ba034, df05ef0) left these on r03 evidence, and
+    # b518fda moved the shared rule engine under the r02-vintage rows ----
+    # r4 reds: HUGEINT oracle dtype, cast ::BIGINT this round
     "corpus_pack",
-    # never driver-run (were positions 51+ last round)
-    "v_not",
-    "v_or",
-    "v_node",
-    "v_pattern",
-    "v_length",
-    "sim_lsh_recall",
-    "kg_serialize_roundtrip",
-    "dedup_clusters",
-    "stream_dedup",
+    "text_lm_score",
+    # rows-only in r4; full LSH oracle (literal hyperplanes) this round
+    "sim_lsh_topk",
+    # BGP family: join machinery changed in r4, last driver-checked on r3 code
+    "bgp_star_join",
+    "bgp_optional",
+    "bgp_path_closure",
+    "bgp_path_inv_alt",
+    "bgp_path_nps",
+    "bgp_minus_filter",
+    "bgp_union",
+    "bgp_values",
+    "bgp_ask",
+    "describe_node",
+    "construct_region_member",
+    "kg_link_disambiguate",
+    # r02-vintage rule/check rows: shared engine moved in b518fda (r4)
+    "j1_domain",
+    "j1_domain_scoped",
+    "j2_range",
+    "j2_range_scoped",
+    "j3_subproperty",
+    "j4_subclass",
+    "j5_inverse",
+    "j6_symmetric",
+    "j7_transitive",
+    "j9_functional_sameas",
+    "j10_inverse_functional_sameas",
+    "j11_class_equivalence",
+    "j12_property_equivalence",
+    "j13_connected_components",
+    "chk_disjoint_classes",
+    "chk_disjoint_properties",
+    "chk_asymmetric",
+    "chk_irreflexive",
+    "chk_same_different",
+    "v_mincount",
+    "v_maxcount",
+    # changed THIS round (explicit whitespace class / decimal intermediates /
+    # pre-closure convergence flag) — re-evidence the flagship representatives
+    "kg_fuse",
+    "kg_fuse_delta",
+    "kg_pagerank",
+    "kg_pagerank_n5",
+    "kg_extract_text",
+    "kg_mentions",
+    "kg_emit_triples",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_exact",
+    "text_tokens",
+    "text_quality",
+    "text_fingerprint",
+    # ---- below the 50-cap: the rest of the r5 whitespace-touched family
+    # (r4-green; re-verified by scripts/check_oracle.py == ALL OK on final
+    # r5 code and the hostile-whitespace parity pytest), then the long-green
+    # remainder ----
+    "text_repetition",
+    "text_langid",
+    "text_pii_scrub",
     "corpus_filter",
-    "sim_ivf_topk",
-    "mm_video_frames",
-    # stale at r2 no_oracle (oracles written in r3, never driver-run since)
-    "mm_image_features",
-    "mm_audio_stats",
-    "kg_pipeline_e2e",
-    "sim_lsh_topk",  # declared rows-only; gated by sim_lsh_recall
-    # new in round 4
-    "mm_resize",
-    "kg_fuse_rdfs_expand",
-    "sim_ivf_kmeans",
-    "emb_quantize",
-    "bgp_aggregate",
-    "bgp_group_concat",
-    "bgp_order_limit",
-    "bgp_bind_exists",
     "corpus_chunk",
     "corpus_vocab",
     "corpus_ngrams",
     "corpus_shards",
     "corpus_boilerplate",
-    "kg_pagerank",
     "corpus_dup_spans",
-    "bgp_term_funcs",
-    "text_lm_score",
-    # changed in round 4 (exact_dedup pair rows; ngram default now LSH;
-    # tokens() long counts; _affected_foci class widening)
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "text_tokens",
-    "v_delta_incremental",
-    "emb_near_dups",
-    # ---- flagship re-confirmation (fills the window to 50) ----
-    "kg_fuse",
-    "kg_fuse_full",
-    "kg_fuse_delta",
-    "kg_fuse_rdfs",
-    "kg_fuse_expand",
-    "kg_extract_text",
-    "kg_mentions",
-    "kg_emit_triples",
+    "dedup_clusters",
+    "dedup_minhash_signatures",
+    "stream_dedup",
     "stream_fuse",
     "stream_validate",
-    "stream_window",
-    "stream_enrich",
-    "j7_transitive",
-    "j10_inverse_functional_sameas",
-    "j13_connected_components",
-    "v_mincount",
+    "kg_fuse_full",
+    "kg_fuse_rdfs",
+    "kg_fuse_expand",
+    "kg_fuse_rdfs_expand",
+    "kg_pipeline_e2e",
+    "corpus_decontaminate",
+    "emb_near_dups",
+    "v_delta_incremental",
+    "p3_subject_objects",
+    "p5_membership",
+    "so1_union_distinct",
+    "so2_difference",
+    "a1_graph_size",
+    "v_class",
+    "v_datatype",
+    "v_nodekind",
     "v_shape30_report",
     "v_lubm_schema1",
     "v_lubm_schema2",
     "v_lubm_schema3",
-    "kg_link_disambiguate",
-    "corpus_decontaminate",
+    "stream_window",
+    "stream_enrich",
+    "sim_lsh_recall",
+    "sim_ivf_topk",
+    "sim_ivf_kmeans",
+    "sim_topk_bruteforce",
+    "emb_quantize",
+    "rel_q1",
+    "rel_events_hourly",
     "corpus_quality_sketch_gate",
+    "corpus_quality_calibration",
+    "corpus_hash_sample",
+    "corpus_stratified",
+    "corpus_mixture",
     "kg_degree_topk",
     "url_canonicalize",
-    "text_quality",
-    # ---- below the 50-cap: everything re-confirmed green in r2/r3 ----
-    "text_repetition",
-    "text_pii_scrub",
+    "url_dedup_latest",
+    "url_domain_stats",
+    "kg_serialize_roundtrip",
+    "bgp_aggregate",
+    "bgp_group_concat",
+    "bgp_order_limit",
+    "bgp_bind_exists",
+    "bgp_term_funcs",
+    "v_not",
+    "v_or",
+    "v_node",
+    "v_pattern",
+    "v_length",
+    "v_in",
+    "v_hasvalue",
     "v_logic",
     "v_qualified",
     "v_range",
@@ -4126,27 +4261,12 @@ _EVIDENCE_PRIORITY = [
     "v_closed",
     "v_target_of",
     "v_inverse_path",
-    "url_dedup_latest",
-    "url_domain_stats",
-    "bgp_star_join",
-    "bgp_optional",
     "v_severity",
-    "bgp_path_closure",
-    "bgp_path_inv_alt",
-    "bgp_minus_filter",
-    "construct_region_member",
     "v_complex_path",
-    "bgp_path_nps",
-    "bgp_union",
-    "bgp_values",
-    "bgp_ask",
-    "describe_node",
-    "corpus_hash_sample",
-    "corpus_stratified",
-    "corpus_mixture",
-    "corpus_quality_calibration",
-    "v_in",
-    "v_hasvalue",
+    "mm_image_features",
+    "mm_audio_stats",
+    "mm_video_frames",
+    "mm_resize",
 ]
 
 QUERIES = {n: QUERIES[n] for n in _EVIDENCE_PRIORITY if n in QUERIES} | {

@@ -475,3 +475,29 @@ def test_lm_score_bit_identical_across_parallelism(spark):
     a = sorted(map(tuple, lm_transition_score(docs.repartition(1)).collect()))
     b = sorted(map(tuple, lm_transition_score(docs.repartition(11)).collect()))
     assert a == b and all(isinstance(x[2], int) for x in a)
+
+
+def test_lsh_bucket_parity_duckdb(spark):
+    """The sim_lsh_topk oracle embeds the hyperplanes as SQL literals and
+    computes buckets with list_dot_product — its sign decisions must agree
+    with the Spark side's sequential-fold dot on every (vector, table) pair,
+    or a knife-edge dot would flip a bucket and shift the candidate set."""
+    import duckdb
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    sig = S.lsh_signatures(emb, dim=64, n_tables=4, n_bits=8)
+    spark_sig = {(r.id, r.table): r.bucket for r in sig.collect()}
+
+    from re_shacl_spark.kgbench import _sql_lsh_bucket
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM '/root/testdata/sf0.001/embeddings.parquet'"
+    )
+    for t in range(4):
+        rows = con.sql(
+            f"SELECT vec_id, {_sql_lsh_bucket(t)} AS bucket"
+            " FROM (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)"
+        ).fetchall()
+        for vid, bucket in rows:
+            assert spark_sig[(vid, t)] == bucket, (vid, t)
