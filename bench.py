@@ -84,6 +84,30 @@ def _fuse_stress() -> float | None:
     return best
 
 
+def _delta_xl() -> dict | None:
+    """Incremental-maintenance crossover at a base ~8× the sf0.1 graph
+    (VERDICT r4 next #6): at toy scale fixed per-job overhead caps the
+    fuse_delta advantage (1.3-2.0×); this measures where the
+    |delta|-proportionality claim actually lands when the full re-fuse pays
+    real shuffle cost.  Runs BEFORE the parent bench session exists (same
+    JVM-contention rule as _fuse_stress)."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)), "jobs", "delta_bench.py"),
+             "--triples", "4000000"],
+            capture_output=True, text=True, timeout=600,
+        )
+        line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")]
+        if line:
+            return json.loads(line[-1])
+    except Exception:
+        pass
+    return None
+
+
 def _bench_incremental_validation(spark, sf_dir: str) -> dict:
     """Time validate_delta (affected-foci re-check + report splice) against a
     full validate() over the same union — the kg_link/kg:ordered shape set of
@@ -187,6 +211,7 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     box_cal = _box_calibration()
     fuse_stress = _fuse_stress()
+    delta_xl = _delta_xl()
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -337,6 +362,7 @@ def main() -> None:
                 "runs": n_runs,
                 "triples_per_sec": triples_per_sec,
                 "fuse_stress_triples_per_sec": fuse_stress,
+                "delta_xl": delta_xl,
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
                 "detail": "BENCH_DETAIL.json",
             }
