@@ -24,7 +24,6 @@ _SCRIPT_RE = re.compile(rb"(?is)<(script|style)\b.*?</\1\s*>")
 _COMMENT_RE = re.compile(rb"(?s)<!--.*?-->")
 _TAG_RE = re.compile(rb"(?s)<[^>]*>")
 _STRAY_LT_RE = re.compile(rb"<[^>]*\Z")  # unclosed trailing tag (malformed pages)
-_WS_RE = re.compile(r"\s+")
 
 _ENTITIES = {
     "&amp;": "&",
@@ -50,10 +49,11 @@ def extract_text_bytes(html: bytes | None) -> str | None:
     h = _STRAY_LT_RE.sub(b" ", h)
     s = h.decode("utf-8", errors="replace")
     s = _ENTITY_RE.sub(lambda m: _ENTITIES[m.group(0)], s)
-    # identical to _WS_RE.sub(" ", s).strip() — str.split's whitespace class
-    # equals \s on every Unicode codepoint (exhaustively checked) — but the
-    # C-speed split/join is ~5x faster on tag-stripped text, where whitespace
-    # runs are everywhere; this step was 2/3 of the extractor's wall time
+    # C-speed split/join normalizes whitespace (~5x faster than a regex sub on
+    # tag-stripped text, where whitespace runs are everywhere; this step was
+    # 2/3 of the extractor's wall time).  str.split's whitespace set is the
+    # contract here; the DuckDB oracle twins mirror it with kgbench.SQL_PY_WSP
+    # (pinned exhaustively over the BMP in tests/test_hostile_ws.py).
     return " ".join(s.split())
 
 

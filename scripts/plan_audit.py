@@ -95,6 +95,14 @@ AUDITED = [
     # bigram LM: model tables are keyed counts, the model join is an
     # equi-join on the bigram, per-doc regroup is a hash agg — no NLJ
     "text_lm_score",
+    # round 5: LSH-topk is a bucket equi-join (signatures are scan-stage
+    # column math over literal planes); the builtin BGPs are pattern scans
+    # with the functions as scan-stage algebra; pagerank_n5 is the same
+    # join/agg chain as kg_pagerank, 2.5× deeper
+    "sim_lsh_topk",
+    "bgp_string_funcs",
+    "bgp_numeric_funcs",
+    "kg_pagerank_n5",
 ]
 
 # queries whose plans must contain NO nested-loop/cartesian join
@@ -107,6 +115,7 @@ NO_NESTED_LOOP = {
     "corpus_hash_sample", "corpus_stratified", "corpus_pack",
     "corpus_mixture", "corpus_decontaminate", "corpus_quality_calibration",
     "dedup_ngram_jaccard", "dedup_exact", "sim_ivf_kmeans",
+    "sim_lsh_topk", "bgp_string_funcs", "bgp_numeric_funcs", "kg_pagerank_n5",
     "corpus_chunk", "corpus_vocab", "corpus_boilerplate",
     "emb_quantize", "bgp_aggregate",
     "kg_pagerank", "corpus_dup_spans", "bgp_term_funcs", "text_lm_score",
