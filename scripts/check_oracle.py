@@ -71,7 +71,7 @@ def main():
         # dtype parity: the driver hash is dtype-sensitive (r4 HUGEINT reds),
         # so a DuckDB type Spark can't emit fails here even with equal values
         _DTYPE_MAP = {
-            "BIGINT": {"bigint"}, "INTEGER": {"int", "bigint"},
+            "BIGINT": {"bigint"}, "INTEGER": {"int"},
             "DOUBLE": {"double"}, "VARCHAR": {"string"},
             "BOOLEAN": {"boolean"},
         }
