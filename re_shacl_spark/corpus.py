@@ -112,6 +112,15 @@ def _html_for(i: int, seed: int, body_repeat: int = 1) -> bytes | None:
     ).encode()
 
 
+def pages_token(n: int, seed: int = 42, body_repeat: int = 1) -> str:
+    """Identity token for a generate_pages frame: (n, seed, body_repeat) fully
+    determine its content, so construct_kg(input_token=...) can fingerprint the
+    resume state without a content scan (the in-production analog is an Iceberg
+    snapshot id).  The gen-v prefix must be bumped whenever the generator's
+    output changes — a stale token would silently serve old checkpoints."""
+    return f"corpus-gen-v1:{n}:{seed}:{body_repeat}"
+
+
 def generate_pages(
     spark: SparkSession, n: int, seed: int = 42, body_repeat: int = 1
 ) -> DataFrame:

@@ -80,6 +80,7 @@ def construct_kg(
     shapes: list[NodeShape] | None = None,
     store: CheckpointStore | None = None,
     triple_partitions: int | None = None,
+    input_token: str | None = None,
 ) -> KGResult:
     """Run (or resume) the full DAG.  With a store, completed stages load from
     their checkpoints; without one, the plan runs straight through."""
@@ -94,10 +95,15 @@ def construct_kg(
     # one fingerprint over every DAG input: resuming after ANY input change
     # (pages file set, aliases, classes, tbox, shapes) invalidates all stages
     # instead of silently serving stale checkpoints
-    try:
-        page_src = sorted(pages.inputFiles())
-    except Exception:
-        page_src = []
+    if input_token is not None:
+        # the caller declares the pages' identity (an Iceberg snapshot id, a
+        # deterministic generator's (n, seed, …) token): no discovery scan
+        page_src = [f"token:{input_token}"]
+    else:
+        try:
+            page_src = sorted(pages.inputFiles())
+        except Exception:
+            page_src = []
     if not page_src:
         # non-file-backed frame (in-memory test data, views): fingerprint the
         # CONTENT, not just the schema — same-schema-different-rows must

@@ -46,6 +46,8 @@ def run_at(cores: int, pages: int, pyfiles: str, body_repeat: int) -> dict:
         "--conf", "spark.sql.constraintPropagation.enabled=false",
         "--conf", "spark.sql.adaptive.enabled=true",
         "--conf", "spark.driver.memory=16g",
+        # wide text rows: bound Arrow batch memory (see jobs/run_pipeline.py)
+        "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch=2048",
         "--py-files", pyfiles,
         os.path.join(REPO, "jobs", "run_pipeline.py"),
         "--pages", str(pages),
