@@ -44,7 +44,13 @@ def main() -> None:
             # thrashes memory at high parallelism.  2048 rows ≈ 60MB bounds
             # peak batch memory; measured 25-30% faster at BOTH 1 and 4 cores
             # on the 800k-page corpus
-            extra_conf={"spark.sql.execution.arrow.maxRecordsPerBatch": "2048"},
+            extra_conf={
+                "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
+                # small-corpus stage checkpoints are a few hundred MB: 32MB
+                # splits keep every stage at 4+ task waves per core (see
+                # scripts/scaling.py for the measurement)
+                "spark.sql.files.maxPartitionBytes": "33554432",
+            },
         )
     spark.sparkContext.setLogLevel("ERROR")
 

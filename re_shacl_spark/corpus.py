@@ -139,4 +139,13 @@ def generate_pages(
                 }
             )
 
-    return spark.range(n).mapInPandas(gen, PAGE_SCHEMA)
+    # granularity: size partitions by DATA, not by defaultParallelism — with
+    # range's default (= cores) every downstream stage inherits `cores` tasks,
+    # so one straggler serializes a whole stage and the checkpoint parquet
+    # lands in `cores` files, starving the NEXT stage's read splits too
+    # (measured: s2_mentions at local[4] ran 5 tasks, 0.68 core-utilization).
+    # ~50k pages/partition keeps tasks tens-of-seconds long at every tested
+    # scale without paying per-task Arrow setup on tiny slices; row content is
+    # a pure function of id, so the split count never changes the bytes.
+    parts = max(spark.sparkContext.defaultParallelism, min(n // 50_000, 2048))
+    return spark.range(n, numPartitions=parts).mapInPandas(gen, PAGE_SCHEMA)

@@ -48,6 +48,13 @@ def run_at(cores: int, pages: int, pyfiles: str, body_repeat: int) -> dict:
         "--conf", "spark.driver.memory=16g",
         # wide text rows: bound Arrow batch memory (see jobs/run_pipeline.py)
         "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch=2048",
+        # at this toy scale the stage checkpoints are a few hundred MB, so the
+        # default 128MB split packs a whole pandas-UDF stage into <=2 waves and
+        # one straggler owns the stage wall (profiled: s2 ran 8 tasks, per-task
+        # python time IDENTICAL at 1 and 4 cores — pure imbalance, not
+        # bandwidth).  32MB restores 4+ waves/core; on a real cluster the
+        # file:core ratio is huge and the default is fine
+        "--conf", "spark.sql.files.maxPartitionBytes=33554432",
         "--py-files", pyfiles,
         os.path.join(REPO, "jobs", "run_pipeline.py"),
         "--pages", str(pages),

@@ -79,3 +79,30 @@ def test_determinism_across_runs(spark):
     ta = sorted((r.s, r.p, r.o) for r in a.conformant.collect())
     tb = sorted((r.s, r.p, r.o) for r in b.conformant.collect())
     assert ta == tb
+
+
+def test_input_token_resume_and_invalidation(spark, tmp_path):
+    """Callers that know their input's identity (deterministic generator args,
+    an Iceberg snapshot id in production) pass input_token and skip the
+    content-scan fingerprint.  Same token -> every stage resumes; different
+    token -> full recompute, never a stale checkpoint."""
+    store = CheckpointStore(spark, str(tmp_path / "ck"))
+    pages_a = corpus.generate_pages(spark, N_PAGES, seed=11)
+    tok_a = corpus.pages_token(N_PAGES, seed=11)
+    r1 = construct_kg(spark, pages_a, corpus.alias_rows(), store=store,
+                      input_token=tok_a)
+    # same token: resumed (metrics identical, lineage intact)
+    r2 = construct_kg(spark, pages_a, corpus.alias_rows(), store=store,
+                      input_token=tok_a)
+    for k in ("fused_triples", "conformant_triples", "violations"):
+        assert r1.metrics[k] == r2.metrics[k]
+    # changed token (different corpus identity): must recompute, and the new
+    # corpus really flows through — parity with a store-less direct run
+    pages_b = corpus.generate_pages(spark, N_PAGES // 2, seed=12)
+    tok_b = corpus.pages_token(N_PAGES // 2, seed=12)
+    assert tok_a != tok_b
+    r3 = construct_kg(spark, pages_b, corpus.alias_rows(), store=store,
+                      input_token=tok_b)
+    r4 = construct_kg(spark, pages_b, corpus.alias_rows())
+    assert r3.metrics["fused_triples"] == r4.metrics["fused_triples"]
+    assert r1.metrics["fused_triples"] != r3.metrics["fused_triples"]
