@@ -60,6 +60,17 @@ ENTITY_CLASSES: dict[str, str] = {
 
 LANGS = ["en", "de", "en", "en", "de", ""]  # "" exercises the skip path
 
+# pandas/Arrow convert timestamps to ns on UDF input; 2024-01-01 + 3600s*i
+# crosses the timestamp[ns] horizon (2262-04-11) at i ≈ 2.09M and the whole
+# job dies in arrow_to_pandas.  Real crawl timestamps are bounded by crawl
+# date, so wrap the hour offset at 2M pages — values for i < 2M (every
+# committed artifact to date) are unchanged, hence gen-v1 stays valid.
+_TS_WRAP = 2_000_000
+
+
+def _warc_ts_for(i: int) -> datetime.datetime:
+    return EPOCH + datetime.timedelta(seconds=3600 * (i % _TS_WRAP))
+
 
 def alias_rows() -> list[tuple[str, str, float]]:
     """(alias_lower, entity_id, prior) — deterministic priors; the broadcast
@@ -132,7 +143,7 @@ def generate_pages(
             yield pd.DataFrame(
                 {
                     "url": [f"https://ex{seed}.org/page/{i}" for i in idx],
-                    "warc_ts": [EPOCH + datetime.timedelta(seconds=3600 * int(i)) for i in idx],
+                    "warc_ts": [_warc_ts_for(int(i)) for i in idx],
                     "html": [_html_for(int(i), seed, body_repeat) for i in idx],
                     "text": pd.Series([None] * len(idx), dtype="object"),
                     "lang": [LANGS[int(i) % len(LANGS)] for i in idx],

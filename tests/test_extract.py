@@ -181,3 +181,16 @@ def test_mentions_scan_matches_regex_fuzz():
         assert _scan_mentions(text, pat, table, meta, False) == regex_ref(text)
 
     check()
+
+
+def test_warc_ts_stays_within_pandas_ns_horizon():
+    # 3600s * i crosses timestamp[ns]'s 2262-04-11 bound at i ~ 2.09M and the
+    # whole job used to die in arrow_to_pandas; the wrap keeps any page index
+    # representable while leaving every index below the wrap unchanged.
+    import datetime as dt
+
+    ns_max = dt.datetime(2262, 4, 11, tzinfo=dt.timezone.utc)
+    for i in (0, 1, corpus._TS_WRAP - 1, corpus._TS_WRAP, 2_400_000, 10**12):
+        assert corpus._warc_ts_for(i) < ns_max
+    assert corpus._warc_ts_for(799_999) == corpus.EPOCH + dt.timedelta(hours=799_999)
+    assert corpus._warc_ts_for(corpus._TS_WRAP + 5) == corpus._warc_ts_for(5)
