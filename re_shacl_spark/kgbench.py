@@ -3400,6 +3400,54 @@ AND EXISTS (SELECT 1 FROM base b JOIN base c2 ON c2.s = b.s
 AND NOT EXISTS (SELECT 1 FROM base d WHERE d.p = 'kg:next' AND d.s = a.s)"""
 
 
+def q_bgp_subselect(spark, sf_dir):
+    """SPARQL 1.1 subquery (§12): the outer per-nation customer count joins a
+    subselect's per-region total on the shared ?r (query.py::join_solutions,
+    the §18.5 Join node), keeping nations whose customer count
+    is at least their region's per-nation mean — integer-only (5·n ≥ total)
+    so the row set is bit-stable at every sf.  Scale shape: both arms are
+    map-side-combined hash aggregates; the subselect is region-cardinality
+    rows, so AQE broadcasts it and the outer frame never re-shuffles."""
+    from re_shacl_spark.query import aggregate, bgp, join_solutions
+
+    t = rel_triples(spark, sf_dir)
+    outer = aggregate(
+        bgp(t, [
+            ("?c", TYPE, "kg:Customer"),
+            ("?c", "kg:inNation", "?n"),
+            ("?n", "kg:inRegion", "?r"),
+        ]),
+        ["n", "r"],
+        {"n_cust": ("count", "*")},
+    )
+    inner = aggregate(
+        bgp(t, [
+            ("?c2", TYPE, "kg:Customer"),
+            ("?c2", "kg:inNation", "?n2"),
+            ("?n2", "kg:inRegion", "?r"),
+        ]),
+        ["r"],
+        {"region_cust": ("count", "*")},
+    )
+    out = join_solutions(outer, inner)
+    return out.filter(F.col("n_cust") * 5 >= F.col("region_cust")).select(
+        "n", "r", "n_cust", "region_cust"
+    )
+
+
+SQL_BGP_SUBSELECT = """WITH per_n AS (
+  SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY 1),
+per_r AS (
+  SELECT n.n_regionkey, count(*) AS region_cust
+  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey GROUP BY 1)
+SELECT 'n:'||n.n_nationkey::varchar AS n, 'r:'||n.n_regionkey::varchar AS r,
+pn.n_cust::BIGINT AS n_cust, pr.region_cust::BIGINT AS region_cust
+FROM nation n
+JOIN per_n pn ON pn.c_nationkey = n.n_nationkey
+JOIN per_r pr ON pr.n_regionkey = n.n_regionkey
+WHERE 5 * pn.n_cust >= pr.region_cust"""
+
+
 QUERIES["bgp_aggregate"] = q_bgp_aggregate
 QUERIES["bgp_group_concat"] = q_bgp_group_concat
 QUERIES["bgp_order_limit"] = q_bgp_order_limit
@@ -3408,6 +3456,8 @@ ORACLES["bgp_aggregate"] = SQL_BGP_AGGREGATE
 ORACLES["bgp_group_concat"] = SQL_BGP_GROUP_CONCAT
 ORACLES["bgp_order_limit"] = SQL_BGP_ORDER_LIMIT
 ORACLES["bgp_bind_exists"] = SQL_BGP_BIND_EXISTS
+QUERIES["bgp_subselect"] = q_bgp_subselect
+ORACLES["bgp_subselect"] = SQL_BGP_SUBSELECT
 
 
 def q_construct_region_member(spark, sf_dir):
@@ -4217,9 +4267,10 @@ _EVIDENCE_PRIORITY = [
     "text_lm_score",
     # rows-only in r4; full LSH oracle (literal hyperplanes) this round
     "sim_lsh_topk",
-    # new in round 5: SPARQL builtin coverage (no prior driver row)
+    # new in round 5: SPARQL builtin + subquery coverage (no prior driver row)
     "bgp_string_funcs",
     "bgp_numeric_funcs",
+    "bgp_subselect",
     # BGP family: join machinery changed in r4, last driver-checked on r3 code
     "bgp_star_join",
     "bgp_optional",

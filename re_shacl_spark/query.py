@@ -360,6 +360,43 @@ def union(
     return out.distinct() if distinct else out
 
 
+def join_solutions(
+    left: DataFrame,
+    right: DataFrame,
+    allow_cross: bool = False,
+) -> DataFrame:
+    """SPARQL Join of two solution multisets (§18.5 ``Join(Ω1, Ω2)``) — the
+    composition step a SPARQL 1.1 subquery (§12) needs: the outer group
+    pattern's solutions join the subselect's projected solutions on their
+    shared variables (rdflib evaluates the reference's ``graph.query``
+    subselects through exactly this algebra node).
+
+    Shared variables join on full term identity when BOTH frames still carry
+    a variable's hidden ``__t`` companion (frames from ``bgp(...,
+    _keep_tags=True)``); a frame that has dropped or never had them — the
+    common case, a subselect projecting GROUP BY keys and aggregate values —
+    joins on the visible string form, the same relaxation VALUES tables use.
+    With no shared variable SPARQL's Join degenerates to a cartesian
+    product, so the caller must opt in via ``allow_cross`` exactly like
+    ``bgp`` does.
+
+    Scale shape: one hash equi-join on the shared variables; a subselect is
+    an aggregate and therefore usually orders of magnitude smaller than the
+    outer pattern, so AQE turns this into a broadcast join at runtime — the
+    outer solution never re-shuffles."""
+    shared = sorted(set(left.columns) & set(right.columns))
+    visible = [c for c in shared if not c.endswith(_TAG)]
+    if not visible:
+        if not allow_cross:
+            raise ValueError(
+                "join_solutions: no shared variable (cartesian product) — "
+                "pass allow_cross=True if intended"
+            )
+        return left.crossJoin(right)
+    # a tag column participates only when both sides still have it
+    return left.join(right, visible + [c for c in shared if c.endswith(_TAG)])
+
+
 def ask(triples: DataFrame, patterns: list[Pattern], **kwargs) -> bool:
     """SPARQL ASK: does at least one solution exist?  Evaluates the BGP
     (same kwargs as ``bgp``) lazily — Spark's ``isEmpty`` fetches a single

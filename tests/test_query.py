@@ -394,6 +394,60 @@ def test_aggregate_global_group_and_having(spark):
     assert [r["t"] for r in kept.collect()] == [EX + "Person"]
 
 
+def test_join_solutions_subselect(spark):
+    """SPARQL 1.1 subquery: the outer pattern joins a subselect's aggregate
+    on the shared variable; a per-type count computed in the inner SELECT
+    rides every outer row of that type."""
+    from pyspark.sql import functions as F
+
+    from re_shacl_spark.query import aggregate, bgp, join_solutions
+
+    outer = bgp(_agg_g(spark), [("?x", vocab.TYPE, "?t")])
+    inner = aggregate(
+        bgp(_agg_g(spark), [("?y", vocab.TYPE, "?t")]), ["t"],
+        {"n_of_type": ("count", "*")},
+    )
+    got = {(r["x"], r["n_of_type"]) for r in join_solutions(outer, inner).collect()}
+    assert got == {(EX + "a", 2), (EX + "b", 2), (EX + "c", 1)}
+    # a filter over the subselect variable keeps only the populous type
+    kept = join_solutions(outer, inner).filter(F.col("n_of_type") >= 2)
+    assert {r["x"] for r in kept.collect()} == {EX + "a", EX + "b"}
+
+
+def test_join_solutions_term_identity_and_cross_guard(spark):
+    """Shared variables joined with tags intact compose on term identity —
+    the literal "30" never joins an IRI <30>; no shared variable raises
+    unless the caller opts into the cartesian product."""
+    import pytest as _pytest
+
+    from re_shacl_spark.query import aggregate, bgp, join_solutions
+
+    rows = [
+        lit_triple(EX + "a", EX + "age", "30", dtype=vocab.XSD + "integer"),
+        iri_triple(EX + "b", EX + "likes", "30"),  # IRI <30> puns the lexical form
+    ]
+    g = triples_df(spark, rows)
+    left = bgp(g, [("?s", EX + "age", "?v")], _keep_tags=True)
+    right = bgp(g, [("?w", EX + "likes", "?v")], _keep_tags=True)
+    assert join_solutions(left, right).count() == 0  # tag mismatch: no pun join
+    # tags dropped (aggregate output): joins on the visible string form
+    agg = aggregate(bgp(g, [("?w", EX + "likes", "?v")]), ["v"], {"n": ("count", "*")})
+    assert join_solutions(bgp(g, [("?s", EX + "age", "?v")]), agg).count() == 1
+    with _pytest.raises(ValueError, match="allow_cross"):
+        join_solutions(
+            bgp(g, [("?s", EX + "age", "?v")]).select("s"),
+            agg.select("n"),
+        )
+    assert (
+        join_solutions(
+            bgp(g, [("?s", EX + "age", "?v")]).select("s"),
+            agg.select("n"),
+            allow_cross=True,
+        ).count()
+        == 1
+    )
+
+
 def test_modifiers_order_offset_limit(spark):
     from re_shacl_spark.query import aggregate, modifiers
 
