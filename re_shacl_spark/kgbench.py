@@ -3488,6 +3488,36 @@ QUERIES["construct_region_member"] = q_construct_region_member
 ORACLES["construct_region_member"] = SQL_CONSTRUCT_REGION
 
 
+def q_kg_update_delete_insert(spark, sf_dir):
+    """SPARQL 1.1 Update (query.py::update): reverse the nation successor
+    chain in place — DELETE {{ ?n kg:next ?m }} INSERT {{ ?m kg:prev ?n }}
+    WHERE {{ ?n kg:next ?m }} — and return the whole post-update graph.  One
+    WHERE evaluation feeds both templates; delete and insert are hash
+    anti-joins on full term identity, so the graph updates in three exchanges
+    at any scale (rdflib mutates through graph.update; the reference's
+    add/remove loops are this shape)."""
+    from re_shacl_spark.query import update
+
+    t = rel_triples(spark, sf_dir)
+    out = update(
+        t,
+        [("?n", "kg:next", "?m")],
+        delete=[("?n", "kg:next", "?m")],
+        insert=[("?m", "kg:prev", "?n")],
+    )
+    return out.select("s", "p", "o")
+
+
+SQL_KG_UPDATE = f"""WITH {REL_TRIPLES_CTE.strip()}
+SELECT s, p, o FROM base WHERE p <> 'kg:next'
+UNION ALL
+SELECT DISTINCT o AS s, 'kg:prev' AS p, s AS o FROM base WHERE p = 'kg:next'"""
+
+
+QUERIES["kg_update_delete_insert"] = q_kg_update_delete_insert
+ORACLES["kg_update_delete_insert"] = SQL_KG_UPDATE
+
+
 def q_v_complex_path(spark, sf_dir):
     """SHACL complex sh:path over the rel KG (validate/engine.py
     _path_value_triples): a sequence path kg:inNation/kg:inRegion with sh:in
@@ -4271,6 +4301,7 @@ _EVIDENCE_PRIORITY = [
     "bgp_string_funcs",
     "bgp_numeric_funcs",
     "bgp_subselect",
+    "kg_update_delete_insert",
     # BGP family: join machinery changed in r4, last driver-checked on r3 code
     "bgp_star_join",
     "bgp_optional",

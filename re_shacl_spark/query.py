@@ -746,12 +746,27 @@ def construct(
     ONCE and fans out column-select-only (no extra joins or shuffles beyond
     the final distinct)."""
     bound = bgp(triples, patterns, where=where, minus=minus, allow_cross=allow_cross)
+    return _instantiate(bound, template, meta=False).distinct()
+
+
+def _instantiate(bound: DataFrame, template: list[Pattern], meta: bool) -> DataFrame:
+    """Instantiate triple templates from a binding frame — the shared fan-out
+    step of CONSTRUCT and DELETE/INSERT (one column-select-only projection per
+    template pattern over the SAME match, unioned; no extra joins).
+
+    ``meta=False`` yields the CONSTRUCT relation (s, p, o string forms).
+    ``meta=True`` additionally reconstructs full term identity for the object
+    slot from the binding's hidden ``__t`` companion — ``o_lit`` struct,
+    ``is_lit`` flag and the ``_otag`` join key — so graph mutation can match
+    and mint literal-valued triples exactly (requires a ``bgp(...,
+    _keep_tags=True)`` frame; a template CONSTANT object is an IRI, same rule
+    as pattern constants)."""
     if not template:
-        raise ValueError("empty CONSTRUCT template")
+        raise ValueError("empty template")
     parts: list[DataFrame] = []
     for s, p, o in template:
         if isinstance(p, Path):
-            raise ValueError("CONSTRUCT template predicates must be constants or variables")
+            raise ValueError("template predicates must be constants or variables")
         cols = []
         for term, name in ((s, "s"), (p, "p"), (o, "o")):
             if _is_var(term):
@@ -761,11 +776,83 @@ def construct(
                 cols.append(F.col(v).alias(name))
             else:
                 cols.append(F.lit(term).alias(name))
+        if meta:
+            if _is_var(o) and (o[1:] + _TAG) in bound.columns:
+                tag = F.col(o[1:] + _TAG)
+            else:
+                tag = F.lit("I")
+            cols.append(tag.alias("_otag"))
+            cols.append(tag.startswith("L|").alias("is_lit"))
         parts.append(bound.select(*cols))
     out = parts[0]
     for p_ in parts[1:]:
         out = out.unionByName(p_)
-    return out.distinct()
+    if meta:
+        tag = F.col("_otag")
+        dtype = F.nullif(F.element_at(F.split(tag, r"\|", 3), 2), F.lit(""))
+        lang = F.nullif(F.element_at(F.split(tag, r"\|", 3), 3), F.lit(""))
+        out = out.withColumn(
+            "o_lit",
+            F.when(
+                tag.startswith("L|"),
+                F.struct(
+                    F.col("o").alias("lex"), dtype.alias("dtype"), lang.alias("lang")
+                ),
+            ),
+        )
+    return out
+
+
+def update(
+    triples: DataFrame,
+    patterns: list[Pattern],
+    delete: list[Pattern] | None = None,
+    insert: list[Pattern] | None = None,
+    where: Column | None = None,
+    allow_cross: bool = False,
+) -> DataFrame:
+    """SPARQL 1.1 Update ``DELETE {…} INSERT {…} WHERE {…}`` (§3.1.3) as a
+    pure graph→graph transform: evaluate the WHERE pattern ONCE against the
+    input graph, instantiate both template sets from the same binding
+    multiset, and return ``(G ∖ D) ∪ I`` with full triple-store schema
+    (rdflib users mutate via ``graph.update(...)``; the reference's add/remove
+    loops in re_shacl.py:120-180 are exactly delete/insert instantiations).
+
+    Deletions and insertions match on FULL term identity — the binding's
+    hidden term companion travels into the templates, so deleting ``?s ?p ?v``
+    where ``?v`` matched a typed literal removes only that literal triple,
+    never an IRI with the same lexical form; inserted literal bindings mint
+    literal triples with their datatype/lang intact.  Inserted triples carry a
+    null ``src_url`` (mutation has no single source page).  Per the spec both
+    templates instantiate against the PRE-update graph state, and the result
+    is a set (an insert of an existing triple is a no-op).
+
+    Scale shape: one BGP evaluation; the delete is a hash anti-join on
+    ``(s, p, o, term)`` — Catalyst broadcasts it when the instantiated delete
+    set is small; the insert is the same-keyed anti-join plus a union.  No
+    driver-side materialization anywhere, so a 10^12-triple graph updates in
+    three exchanges end-to-end."""
+    from re_shacl_spark.model.triples import TRIPLE_FIELDS
+
+    if not delete and not insert:
+        raise ValueError("update: need at least one of delete/insert")
+    bound = bgp(
+        triples, patterns, where=where, allow_cross=allow_cross, _keep_tags=True
+    )
+    otag = _term_tag(F.col("is_lit"), F.col("o_lit"))
+    base = triples.select(*TRIPLE_FIELDS).withColumn("_otag", otag)
+    if delete:
+        d = _instantiate(bound, delete, meta=True).select("s", "p", "o", "_otag")
+        base = base.join(d.distinct(), ["s", "p", "o", "_otag"], "left_anti")
+    if insert:
+        ins = (
+            _instantiate(bound, insert, meta=True)
+            .withColumn("src_url", F.lit(None).cast("string"))
+            .dropDuplicates(["s", "p", "o", "_otag"])
+        )
+        new = ins.join(base, ["s", "p", "o", "_otag"], "left_anti")
+        base = base.unionByName(new.select(*base.columns))
+    return base.drop("_otag")
 
 
 # ---------------------------------------------------------------------------

@@ -448,6 +448,59 @@ def test_join_solutions_term_identity_and_cross_guard(spark):
     )
 
 
+def test_update_delete_insert_where(spark):
+    """SPARQL 1.1 Update: one WHERE evaluation feeds both templates; the
+    result is (G \\ D) ∪ I with untouched triples intact."""
+    from re_shacl_spark.query import update
+
+    g = _g(spark)
+    out = update(
+        g,
+        [("?x", EX + "knows", "?y")],
+        delete=[("?x", EX + "knows", "?y")],
+        insert=[("?x", EX + "contacted", "?y")],
+    )
+    rows = {(r["s"], r["p"], r["o"]) for r in out.collect()}
+    assert not any(p == EX + "knows" for _, p, _ in rows)
+    assert (EX + "a", EX + "contacted", EX + "b") in rows
+    assert (EX + "c", EX + "contacted", EX + "a") in rows
+    assert (EX + "a", EX + "name", "Alice") in rows  # untouched
+    assert out.count() == g.count()  # 3 deleted, 3 inserted
+
+    with pytest.raises(ValueError, match="delete/insert"):
+        update(g, [("?x", EX + "knows", "?y")])
+
+
+def test_update_literal_term_fidelity(spark):
+    """Deleted/inserted triples match and mint FULL term identity: a typed
+    literal rides into the insert template with datatype intact, and an IRI
+    sharing its lexical form is never collateral damage; inserting an
+    already-present triple is a set-semantics no-op."""
+    from re_shacl_spark.query import update
+
+    rows = [
+        lit_triple(EX + "a", EX + "age", "30", dtype=vocab.XSD + "integer"),
+        iri_triple(EX + "b", EX + "likes", "30"),  # IRI <30> puns the lexical form
+    ]
+    g = triples_df(spark, rows)
+    out = update(
+        g,
+        [("?s", EX + "age", "?v")],
+        delete=[("?s", EX + "age", "?v")],
+        insert=[("?s", EX + "ageYears", "?v")],
+    )
+    got = out.collect()
+    assert len(got) == 2
+    new = next(r for r in got if r["p"] == EX + "ageYears")
+    assert new["is_lit"] and new["o"] == "30"
+    assert new["o_lit"]["dtype"] == vocab.XSD + "integer"
+    assert new["src_url"] is None
+    assert any(r["p"] == EX + "likes" and not r["is_lit"] for r in got)
+    # insert-only of an existing triple: graph unchanged
+    same = update(g, [("?s", EX + "likes", "?o")], insert=[("?s", EX + "likes", "?o")])
+    assert same.count() == 2
+
+
 def test_modifiers_order_offset_limit(spark):
     from re_shacl_spark.query import aggregate, modifiers
 
