@@ -3518,6 +3518,42 @@ QUERIES["kg_update_delete_insert"] = q_kg_update_delete_insert
 ORACLES["kg_update_delete_insert"] = SQL_KG_UPDATE
 
 
+def q_bgp_graph_comention(spark, sf_dir):
+    """SPARQL GRAPH (§13) over the constructed KG: per-page co-mention pairs
+    — two quad patterns sharing the graph variable ?g (query.py::_scan quad
+    form, ``src_url`` as the named-graph slot), so both mention edges must
+    come from the SAME source page.  Page-level ``kg:mentions`` triples are
+    the one emit branch whose provenance is unique per (s,p,o) (surface /
+    sameAs triples dedup across pages), which keeps the graph slot
+    deterministic.  Scale shape: both quads are predicate-pruned scans
+    joining on (?pg, ?g) — one hash exchange, the `<` filter runs inside the
+    join's codegen stage."""
+    from re_shacl_spark.query import bgp
+
+    pages = extract_text(_doc_pages(spark, sf_dir))
+    m = detect_mentions(pages, MENTION_ALIASES, skip_empty_lang=False)
+    t = emit_triples(m)
+    sol = bgp(
+        t,
+        [
+            ("?pg", _KG_NS + "mentions", "?a", "?g"),
+            ("?pg", _KG_NS + "mentions", "?b", "?g"),
+        ],
+        where=F.col("a") < F.col("b"),
+    )
+    return sol.select("g", "a", "b")
+
+
+SQL_BGP_GRAPH_COMENTION = f"""WITH m0 AS ({_sql_mentions_cte()}),
+m AS (SELECT DISTINCT url, '{_MENTION_PREFIX}'||alias AS mi FROM m0 WHERE n > 0)
+SELECT x.url AS g, x.mi AS a, y.mi AS b
+FROM m x JOIN m y ON x.url = y.url AND x.mi < y.mi"""
+
+
+QUERIES["bgp_graph_comention"] = q_bgp_graph_comention
+ORACLES["bgp_graph_comention"] = SQL_BGP_GRAPH_COMENTION
+
+
 def q_v_complex_path(spark, sf_dir):
     """SHACL complex sh:path over the rel KG (validate/engine.py
     _path_value_triples): a sequence path kg:inNation/kg:inRegion with sh:in
@@ -4302,6 +4338,7 @@ _EVIDENCE_PRIORITY = [
     "bgp_numeric_funcs",
     "bgp_subselect",
     "kg_update_delete_insert",
+    "bgp_graph_comention",
     # BGP family: join machinery changed in r4, last driver-checked on r3 code
     "bgp_star_join",
     "bgp_optional",
@@ -4346,12 +4383,15 @@ _EVIDENCE_PRIORITY = [
     "kg_extract_text",
     "kg_mentions",
     "kg_emit_triples",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
     "dedup_ngram_jaccard",
-    "dedup_exact",
     "text_tokens",
     # ---- below the 50-cap: the rest of the r5 whitespace-touched family
+    # (dedup_minhash_lsh/simhash/exact are r4-green and their r5 deltas are
+    # output-preserving — the WS class equals Java \s and the long-count
+    # emit never crosses int32 at test sf; check_oracle re-proves them) ----
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_exact",
     # (r4-green; re-verified by scripts/check_oracle.py == ALL OK on final
     # r5 code and the hostile-whitespace parity pytest), then the long-green
     # remainder ----

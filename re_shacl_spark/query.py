@@ -29,7 +29,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-Pattern = tuple[str, str, str]
+Pattern = tuple[str, str, str]  # or (s, p, o, g): a quad with a GRAPH slot
 
 
 @dataclass(frozen=True)
@@ -150,7 +150,38 @@ def _bind(df: DataFrame, term_cols: list[tuple[str, str, Column]]) -> DataFrame:
 
 def _scan(triples: DataFrame, pat: Pattern) -> DataFrame:
     """One pattern → one filtered scan projecting its variables.  A ``Path``
-    predicate first evaluates to an (a, b) endpoint-pair relation."""
+    predicate first evaluates to an (a, b) endpoint-pair relation.
+
+    A 4-tuple ``(s, p, o, g)`` is a quad pattern — SPARQL 1.1 §13's
+    ``GRAPH g { s p o }``: the fourth term binds/filters the store's
+    ``src_url`` provenance column as the named-graph slot (graph names are
+    the source-page IRIs per BASELINE.json's lineage rule; rdflib users get
+    the same via ConjunctiveGraph contexts).  Triples with null ``src_url``
+    live in the default graph and are never visible through a GRAPH pattern.
+    A constant graph term is a pushed-down partition-prunable filter; a
+    variable binds per triple (an IRI-tagged column like ``s``/``p``).  A
+    ``Path`` predicate composes with a CONSTANT graph term (the closure runs
+    inside that one graph) but not a graph variable — per-graph closures
+    would need a grouped fixpoint; callers iterate named graphs instead."""
+    if len(pat) == 4:
+        s, p, o, g = pat
+        scoped = triples.filter(F.col("src_url").isNotNull())
+        if isinstance(p, Path):
+            if _is_var(g):
+                raise ValueError(
+                    f"GRAPH variable over a property path is unsupported: {pat}"
+                )
+            scoped = scoped.filter(F.col("src_url") == g)
+            return _scan(scoped, (s, p, o))
+        return _bind(
+            scoped,
+            [
+                (s, "s", F.lit("I")),
+                (p, "p", F.lit("I")),
+                (o, "o", _term_tag(F.col("is_lit"), F.col("o_lit"))),
+                (g, "src_url", F.lit("I")),
+            ],
+        )
     s, p, o = pat
     if isinstance(p, Path):
         pairs = eval_path(triples, p.expr, keep_meta="ab")
@@ -213,6 +244,10 @@ def bgp(
     _keep_tags: bool = False,
 ) -> DataFrame:
     """Match a conjunctive pattern list; returns one column per variable.
+
+    Patterns are ``(s, p, o)`` triples or ``(s, p, o, g)`` quads — the quad
+    form is SPARQL ``GRAPH g {…}`` over the ``src_url`` provenance slot (see
+    ``_scan``); graph variables join across patterns like any other variable.
 
     Joins on shared variables compose on full RDF TERM identity (the visible
     string column plus a hidden ``__t`` companion: IRI vs literal, datatype,

@@ -501,6 +501,58 @@ def test_update_literal_term_fidelity(spark):
     assert same.count() == 2
 
 
+def test_graph_quad_patterns(spark):
+    """SPARQL GRAPH: the quad slot binds src_url; null-src triples live in
+    the default graph and are invisible to GRAPH patterns; a graph variable
+    joins across quads; constants filter."""
+    from re_shacl_spark.query import bgp
+
+    rows = [
+        iri_triple(EX + "a", EX + "p", EX + "b", src_url="http://g1"),
+        iri_triple(EX + "b", EX + "p", EX + "c", src_url="http://g1"),
+        iri_triple(EX + "a", EX + "p", EX + "c", src_url="http://g2"),
+        iri_triple(EX + "a", EX + "p", EX + "d"),  # default graph (null src)
+    ]
+    g = triples_df(spark, rows)
+    # graph variable binds per triple; default-graph triple excluded
+    got = {
+        (r["x"], r["y"], r["gr"])
+        for r in bgp(g, [("?x", EX + "p", "?y", "?gr")]).collect()
+    }
+    assert got == {
+        (EX + "a", EX + "b", "http://g1"),
+        (EX + "b", EX + "c", "http://g1"),
+        (EX + "a", EX + "c", "http://g2"),
+    }
+    # shared graph variable: 2-hop chain must stay within ONE graph
+    chains = bgp(
+        g, [("?x", EX + "p", "?y", "?gr"), ("?y", EX + "p", "?z", "?gr")]
+    ).collect()
+    assert len(chains) == 1 and chains[0]["gr"] == "http://g1"
+    # constant graph term filters
+    only_g2 = bgp(g, [("?x", EX + "p", "?y", "http://g2")]).collect()
+    assert {(r["x"], r["y"]) for r in only_g2} == {(EX + "a", EX + "c")}
+
+
+def test_graph_quad_with_path(spark):
+    """A property path composes with a CONSTANT graph (closure confined to
+    that graph); a graph VARIABLE over a path raises."""
+    from re_shacl_spark.query import Path, bgp
+
+    rows = [
+        iri_triple(EX + "a", EX + "p", EX + "b", src_url="http://g1"),
+        iri_triple(EX + "b", EX + "p", EX + "c", src_url="http://g2"),
+    ]
+    g = triples_df(spark, rows)
+    got = {
+        (r["x"], r["y"])
+        for r in bgp(g, [("?x", Path(f"<{EX}p>+"), "?y", "http://g1")]).collect()
+    }
+    assert got == {(EX + "a", EX + "b")}  # a->b->c crosses graphs: not closed
+    with pytest.raises(ValueError, match="GRAPH variable"):
+        bgp(g, [("?x", Path(f"<{EX}p>+"), "?y", "?gr")])
+
+
 def test_modifiers_order_offset_limit(spark):
     from re_shacl_spark.query import aggregate, modifiers
 
