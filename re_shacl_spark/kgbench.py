@@ -3554,6 +3554,72 @@ QUERIES["bgp_graph_comention"] = q_bgp_graph_comention
 ORACLES["bgp_graph_comention"] = SQL_BGP_GRAPH_COMENTION
 
 
+def q_kg_graph_mgmt(spark, sf_dir):
+    """SPARQL 1.1 Update graph management (§3.2, query.py::move_graph): MOVE
+    one source page's named graph into a quarantine graph, then report
+    per-graph triple counts.  Restricted to the page-level ``kg:mentions``
+    branch — the one emit branch whose provenance is unique per (s,p,o), so
+    graph membership is deterministic.  Scale shape: MOVE is two pushed-down
+    filters + a union (no shuffle); the count is one map-side-combined
+    aggregate on the graph key."""
+    from re_shacl_spark.query import move_graph
+
+    pages = extract_text(_doc_pages(spark, sf_dir))
+    m = detect_mentions(pages, MENTION_ALIASES, skip_empty_lang=False)
+    t = emit_triples(m).filter(F.col("p") == _KG_NS + "mentions")
+    out = move_graph(t, "https://d/1", "graph:quarantine")
+    return out.groupBy(F.col("src_url").alias("g")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+SQL_KG_GRAPH_MGMT = f"""WITH m0 AS ({_sql_mentions_cte()}),
+m AS (SELECT url, alias FROM m0 WHERE n > 0)
+SELECT CASE WHEN url = 'https://d/1' THEN 'graph:quarantine' ELSE url END AS g,
+count(*)::BIGINT AS n
+FROM m GROUP BY 1"""
+
+
+QUERIES["kg_graph_mgmt"] = q_kg_graph_mgmt
+ORACLES["kg_graph_mgmt"] = SQL_KG_GRAPH_MGMT
+
+
+def q_kg_dataset_from(spark, sf_dir):
+    """SPARQL FROM / FROM NAMED (§13.2, query.py::dataset): build an active
+    dataset from two FROM pages (merged into the default graph, src nulled)
+    plus one FROM NAMED page, then report per-graph triple counts — named
+    graphs keep their IRI, the FROM merge shows up as '(default)'.  Page-level
+    ``kg:mentions`` triples only (deterministic provenance).  Scale shape:
+    `src_url IN (…)` is a pushed-down scan filter; the count is one
+    map-side-combined aggregate."""
+    from re_shacl_spark.query import dataset
+
+    pages = extract_text(_doc_pages(spark, sf_dir))
+    m = detect_mentions(pages, MENTION_ALIASES, skip_empty_lang=False)
+    t = emit_triples(m).filter(F.col("p") == _KG_NS + "mentions")
+    ds = dataset(
+        t,
+        default_graphs=["https://d/1", "https://d/2"],
+        named_graphs=["https://d/3"],
+    )
+    return ds.groupBy(
+        F.coalesce(F.col("src_url"), F.lit("(default)")).alias("g")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_KG_DATASET_FROM = f"""WITH m0 AS ({_sql_mentions_cte()}),
+m AS (SELECT url, alias FROM m0 WHERE n > 0)
+SELECT '(default)' AS g, count(*)::BIGINT AS n FROM m
+WHERE url IN ('https://d/1', 'https://d/2') HAVING count(*) > 0
+UNION ALL
+SELECT url AS g, count(*)::BIGINT AS n FROM m
+WHERE url = 'https://d/3' GROUP BY url"""
+
+
+QUERIES["kg_dataset_from"] = q_kg_dataset_from
+ORACLES["kg_dataset_from"] = SQL_KG_DATASET_FROM
+
+
 def q_v_complex_path(spark, sf_dir):
     """SHACL complex sh:path over the rel KG (validate/engine.py
     _path_value_triples): a sequence path kg:inNation/kg:inRegion with sh:in
@@ -4339,6 +4405,8 @@ _EVIDENCE_PRIORITY = [
     "bgp_subselect",
     "kg_update_delete_insert",
     "bgp_graph_comention",
+    "kg_graph_mgmt",
+    "kg_dataset_from",
     # BGP family: join machinery changed in r4, last driver-checked on r3 code
     "bgp_star_join",
     "bgp_optional",
@@ -4356,7 +4424,6 @@ _EVIDENCE_PRIORITY = [
     "j1_domain",
     "j1_domain_scoped",
     "j2_range",
-    "j2_range_scoped",
     "j3_subproperty",
     "j4_subclass",
     "j5_inverse",
@@ -4383,15 +4450,18 @@ _EVIDENCE_PRIORITY = [
     "kg_extract_text",
     "kg_mentions",
     "kg_emit_triples",
-    "dedup_ngram_jaccard",
     "text_tokens",
     # ---- below the 50-cap: the rest of the r5 whitespace-touched family
-    # (dedup_minhash_lsh/simhash/exact are r4-green and their r5 deltas are
+    # (the dedup_* rows are r4-green and their r5 deltas are
     # output-preserving — the WS class equals Java \s and the long-count
     # emit never crosses int32 at test sf; check_oracle re-proves them) ----
+    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_exact",
+    # j2_range_scoped: same rule function + Scope machinery as the in-window
+    # j1_domain_scoped/j2_range pair — indirectly re-evidenced
+    "j2_range_scoped",
     # (r4-green; re-verified by scripts/check_oracle.py == ALL OK on final
     # r5 code and the hostile-whitespace parity pytest), then the long-green
     # remainder ----

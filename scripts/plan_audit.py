@@ -103,6 +103,15 @@ AUDITED = [
     "bgp_string_funcs",
     "bgp_numeric_funcs",
     "kg_pagerank_n5",
+    # round 5 (late): the subselect join must broadcast the aggregate-sized
+    # inner arm; Update's delete/insert are hash anti-joins on term identity;
+    # GRAPH quads are ordinary pattern scans with src_url as a join key;
+    # graph management is filter+union (no join at all beyond ADD's anti)
+    "bgp_subselect",
+    "kg_update_delete_insert",
+    "bgp_graph_comention",
+    "kg_graph_mgmt",
+    "kg_dataset_from",
 ]
 
 # queries whose plans must contain NO nested-loop/cartesian join
@@ -119,6 +128,8 @@ NO_NESTED_LOOP = {
     "corpus_chunk", "corpus_vocab", "corpus_boilerplate",
     "emb_quantize", "bgp_aggregate",
     "kg_pagerank", "corpus_dup_spans", "bgp_term_funcs", "text_lm_score",
+    "bgp_subselect", "kg_update_delete_insert", "bgp_graph_comention",
+    "kg_graph_mgmt", "kg_dataset_from",
 }
 
 
