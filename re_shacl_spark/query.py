@@ -51,6 +51,31 @@ class Path:
     expr: str
 
 
+@dataclass(frozen=True)
+class Lit:
+    """A constant LITERAL pattern term: ``bgp(t, [("?s", "kg:surface",
+    Lit("claude"))])`` — SPARQL's ``"claude"`` / ``"x"^^xsd:int`` /
+    ``"chat"@fr`` syntax.  Plain-string constants are IRIs (the spec writes
+    them ``<…>``); matching a literal by its lexical form alone would conflate
+    it with an IRI pun, so literal constants are explicit.  Defaults follow
+    the store's literal model: no ``lang`` → ``dtype`` defaults to
+    ``xsd:string``; a ``lang``-tagged literal carries no dtype."""
+
+    lex: str
+    dtype: str | None = None
+    lang: str | None = None
+
+
+def _const_form_tag(term) -> tuple[str, str]:
+    """(visible string form, term-identity tag) for a constant pattern term."""
+    if isinstance(term, Lit):
+        from re_shacl_spark.model.triples import vocab
+
+        dtype = term.dtype or ("" if term.lang else vocab.XSD + "string")
+        return term.lex, f"L|{dtype}|{term.lang or ''}"
+    return term, "I"
+
+
 def _is_var(term) -> bool:
     return isinstance(term, str) and term.startswith("?")
 
@@ -129,8 +154,9 @@ def _bind(df: DataFrame, term_cols: list[tuple[str, str, Column]]) -> DataFrame:
     """Bind pattern terms to the frame's columns: constants filter, variables
     project — plus a term-identity companion per variable (a repeated
     variable inside one pattern becomes an equality filter on term identity).
-    Constants filter by string form: the pattern API writes terms as plain
-    strings, and pattern constants are IRIs in every call site."""
+    Constants filter on FULL term identity: a plain string is an IRI (SPARQL
+    writes them ``<…>``) and never matches a literal pun; ``Lit(...)``
+    constants match the exact literal (lexical form + dtype/lang)."""
     cols: list[Column] = []
     seen: dict[str, tuple[str, Column]] = {}
     for term, col, tag in term_cols:
@@ -144,7 +170,8 @@ def _bind(df: DataFrame, term_cols: list[tuple[str, str, Column]]) -> DataFrame:
                 cols.append(F.col(col).alias(v))
                 cols.append(tag.alias(v + _TAG))
         else:
-            df = df.filter(F.col(col) == term)
+            form, want = _const_form_tag(term)
+            df = df.filter((F.col(col) == form) & tag.eqNullSafe(F.lit(want)))
     return df.select(*cols)
 
 
@@ -163,6 +190,11 @@ def _scan(triples: DataFrame, pat: Pattern) -> DataFrame:
     ``Path`` predicate composes with a CONSTANT graph term (the closure runs
     inside that one graph) but not a graph variable — per-graph closures
     would need a grouped fixpoint; callers iterate named graphs instead."""
+    for slot in pat[:2]:
+        if isinstance(slot, Lit):
+            raise ValueError(f"literal in subject/predicate position: {pat}")
+    if len(pat) == 4 and isinstance(pat[3], Lit):
+        raise ValueError(f"literal graph name: {pat}")
     if len(pat) == 4:
         s, p, o, g = pat
         scoped = triples.filter(F.col("src_url").isNotNull())
@@ -794,8 +826,9 @@ def _instantiate(bound: DataFrame, template: list[Pattern], meta: bool) -> DataF
     slot from the binding's hidden ``__t`` companion — ``o_lit`` struct,
     ``is_lit`` flag and the ``_otag`` join key — so graph mutation can match
     and mint literal-valued triples exactly (requires a ``bgp(...,
-    _keep_tags=True)`` frame; a template CONSTANT object is an IRI, same rule
-    as pattern constants).  Update templates (``meta=True`` only — CONSTRUCT
+    _keep_tags=True)`` frame; a plain-string template constant is an IRI and
+    a ``Lit(...)`` constant mints that exact literal, same rule as pattern
+    constants).  Update templates (``meta=True`` only — CONSTRUCT
     emits triples per spec) may be quads: the fourth slot rides along as
     ``_g`` (the target named graph; null for triple templates = the default
     graph)."""
@@ -818,11 +851,17 @@ def _instantiate(bound: DataFrame, template: list[Pattern], meta: bool) -> DataF
                 if v not in bound.columns:
                     raise ValueError(f"template variable ?{v} not bound by the pattern")
                 cols.append(F.col(v).alias(name))
+            elif isinstance(term, Lit):
+                if name != "o":
+                    raise ValueError(f"literal in template {name}-position")
+                cols.append(F.lit(term.lex).alias(name))
             else:
                 cols.append(F.lit(term).alias(name))
         if meta:
             if _is_var(o) and (o[1:] + _TAG) in bound.columns:
                 tag = F.col(o[1:] + _TAG)
+            elif isinstance(o, Lit):
+                tag = F.lit(_const_form_tag(o)[1])
             else:
                 tag = F.lit("I")
             cols.append(tag.alias("_otag"))

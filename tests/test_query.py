@@ -503,6 +503,41 @@ def test_update_literal_term_fidelity(spark):
     assert same.count() == 2
 
 
+def test_constant_terms_are_term_strict(spark):
+    """A plain-string constant is an IRI and never matches a literal pun; a
+    Lit constant matches the exact literal (dtype/lang included) and can be
+    minted by an update template."""
+    from re_shacl_spark.query import Lit, update
+
+    rows = [
+        iri_triple(EX + "a", EX + "p", "30"),  # IRI <30>
+        lit_triple(EX + "b", EX + "p", "30", dtype=vocab.XSD + "integer"),
+        lit_triple(EX + "c", EX + "p", "30"),  # plain literal (xsd:string)
+        lit_triple(EX + "d", EX + "p", "chat", lang="fr"),
+    ]
+    g = triples_df(spark, rows)
+    assert {r["s"] for r in bgp(g, [("?s", EX + "p", "30")]).collect()} == {EX + "a"}
+    assert {
+        r["s"]
+        for r in bgp(g, [("?s", EX + "p", Lit("30", dtype=vocab.XSD + "integer"))]).collect()
+    } == {EX + "b"}
+    assert {r["s"] for r in bgp(g, [("?s", EX + "p", Lit("30"))]).collect()} == {EX + "c"}
+    assert {r["s"] for r in bgp(g, [("?s", EX + "p", Lit("chat", lang="fr"))]).collect()} == {
+        EX + "d"
+    }
+    with pytest.raises(ValueError, match="subject/predicate"):
+        bgp(g, [(Lit("30"), EX + "p", "?o")])
+    # Lit in an INSERT template mints the exact literal
+    out = update(
+        g,
+        [("?s", EX + "p", Lit("30"))],
+        insert=[("?s", EX + "tagged", Lit("yes", lang="en"))],
+    )
+    new = next(r for r in out.collect() if r["p"] == EX + "tagged")
+    assert new["s"] == EX + "c" and new["is_lit"] and new["o"] == "yes"
+    assert new["o_lit"]["lang"] == "en" and new["o_lit"]["dtype"] is None
+
+
 def test_update_quad_templates(spark):
     """§3.1.3 QuadPattern: a quad DELETE removes the triple only from its
     named graph; a quad INSERT mints src_url from the bound graph variable;
