@@ -672,7 +672,22 @@ def _path_closure(edges: DataFrame) -> DataFrame:
                 F.col("y.b_lit").alias("b_lit"), F.col("y.b_is").alias("b_is"),
             )
         )
-        new = nxt.join(closure.select("a", "b"), ["a", "b"], "left_anti").distinct()
+        # novelty on FULL endpoint term identity, not string form — an edge
+        # pair (x, "lit") is new even when (x, <lit>) is already closed (the
+        # randomized parity suite caught the form-only anti-join dropping
+        # pun-endpoint pairs); the non-null term tags make equi-join keys
+        seen = closure.select(
+            "a", "b",
+            _term_tag(F.col("a_is"), F.col("a_lit")).alias("_at"),
+            _term_tag(F.col("b_is"), F.col("b_lit")).alias("_bt"),
+        )
+        new = (
+            nxt.withColumn("_at", _term_tag(F.col("a_is"), F.col("a_lit")))
+            .withColumn("_bt", _term_tag(F.col("b_is"), F.col("b_lit")))
+            .join(seen, ["a", "b", "_at", "_bt"], "left_anti")
+            .drop("_at", "_bt")
+            .distinct()
+        )
         new = new.localCheckpoint(eager=True)
         if new.isEmpty():
             break

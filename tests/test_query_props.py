@@ -125,6 +125,207 @@ def test_bgp_matches_naive_backtracker(spark, case):
     assert got == want, f"pats={pats}"
 
 
+@st.composite
+def optional_case_st(draw):
+    """A required case plus 1-2 OPTIONAL patterns, each sharing a variable
+    with the required block (the engine raises otherwise)."""
+    graph, pats = draw(case_st())
+    req_vars = sorted({t for p in pats for t in p if t.startswith("?")})
+    opts = []
+    for _ in range(draw(st.integers(1, 2))):
+        shared = draw(st.sampled_from(req_vars))
+        other = draw(st.sampled_from(VARS + ["?w"]))
+        flip = draw(st.booleans())
+        s, o = (shared, other) if flip else (other, shared)
+        opts.append((s, draw(st.sampled_from(PREDS)), o))
+    return graph, pats, opts
+
+
+def _naive_optional(envs, graph, pat):
+    """Sequential left-extension mirroring the engine's per-pattern left
+    join: a null (unmatched-earlier) binding never matches (SQL null join
+    semantics); unmatched rows keep their env with the pattern's NEW
+    variables null."""
+    terms = [
+        (("I", s), ("I", p), o if o[0] == "L" else ("I", o[1]))
+        for s, p, o in graph
+    ]
+
+    def unify(pat_term, term, env):
+        if pat_term.startswith("?"):
+            bound = env.get(pat_term, "unbound")
+            if bound == "unbound":
+                env = dict(env)
+                env[pat_term] = term
+                return env
+            if bound is None:
+                return None
+            return env if bound == term else None
+        return env if term == ("I", pat_term) else None
+
+    out = []
+    for env in envs:
+        matched = []
+        for ts, tp, to in terms:
+            e = unify(pat[0], ts, env)
+            e = e and unify(pat[1], tp, e)
+            e = e and unify(pat[2], to, e)
+            if e is not None:
+                matched.append(e)
+        if matched:
+            out.extend(matched)
+        else:
+            e = dict(env)
+            for t in pat:
+                if t.startswith("?") and t not in e:
+                    e[t] = None
+            out.append(e)
+    return out
+
+
+def _key_opt(env, names):
+    return tuple(
+        (env["?" + v][1] if env["?" + v] is not None else None) for v in names
+    )
+
+
+@given(optional_case_st())
+@SETTINGS
+def test_bgp_optional_matches_naive(spark, case):
+    graph, pats, opts = case
+    df = triples_df(spark, _rows(graph))
+    out = bgp(df, pats, optional=opts)
+    names = sorted(out.columns)
+    got = Counter(tuple(r[v] for v in names) for r in out.collect())
+    envs = _naive_match(graph, pats)
+    for pat in opts:
+        envs = _naive_optional(envs, graph, pat)
+    want = Counter(_key_opt(e, names) for e in envs)
+    assert got == want, f"pats={pats} optional={opts}"
+
+
+@given(case_st(), st.sampled_from(PREDS), st.booleans())
+@SETTINGS
+def test_bgp_filter_exists_matches_naive(spark, case, ep, negate):
+    """FILTER (NOT) EXISTS: compatible-solution semi/anti semantics, incl.
+    the §8.3 no-shared-variable divergence from MINUS (a matching inner
+    pattern sharing nothing still decides for EVERY solution)."""
+    graph, pats = case
+    shares = any("?x" in p for p in pats)
+    inner = [("?x", ep, "?free")] if shares else [("?only", ep, "?free")]
+    df = triples_df(spark, _rows(graph))
+    kw = {"filter_not_exists": [inner]} if negate else {"filter_exists": [inner]}
+    out = bgp(df, pats, **kw)
+    names = sorted(out.columns)
+    got = Counter(tuple(r[v] for v in names) for r in out.collect())
+
+    inner_envs = _naive_match(graph, inner)
+    ivars = {t for p in inner for t in p if t.startswith("?")}
+
+    def hit(env):
+        shared = set(env) & ivars
+        if shared:
+            return any(all(env[v] == r[v] for v in shared) for r in inner_envs)
+        return bool(inner_envs)
+
+    want = Counter(
+        _key(e, names) for e in _naive_match(graph, pats) if hit(e) != negate
+    )
+    assert got == want, f"pats={pats} inner={inner} negate={negate}"
+
+
+# ---------------------------------------------------------------------------
+# property paths: random path ASTs vs a naive set-algebra evaluator
+# ---------------------------------------------------------------------------
+
+path_ast_st = st.recursive(
+    st.sampled_from(PREDS).map(lambda p: ("iri", p)),
+    lambda ch: st.one_of(
+        ch.map(lambda e: ("inv", e)),
+        st.tuples(ch, ch).map(lambda t: ("seq", *t)),
+        st.tuples(ch, ch).map(lambda t: ("alt", *t)),
+        ch.map(lambda e: ("plus", e)),
+        ch.map(lambda e: ("star", e)),
+        ch.map(lambda e: ("opt", e)),
+    ),
+    max_leaves=4,
+)
+
+
+def _render(ast) -> str:
+    k = ast[0]
+    if k == "iri":
+        return ast[1]
+    if k == "inv":
+        return f"^({_render(ast[1])})"
+    if k == "seq":
+        return f"({_render(ast[1])}/{_render(ast[2])})"
+    if k == "alt":
+        return f"({_render(ast[1])}|{_render(ast[2])})"
+    return f"({_render(ast[1])})" + {"plus": "+", "star": "*", "opt": "?"}[k]
+
+
+def _naive_path(graph, ast):
+    """Pair-set semantics mirroring eval_path: composition on full term
+    identity; closures are distinct sets; zero-length paths pair every graph
+    term (subjects as IRIs, objects with their literal identity) with
+    itself."""
+    oterm = lambda o: o if o[0] == "L" else ("I", o[1])
+    zero = {(("I", s), ("I", s)) for s, _, _ in graph} | {
+        (oterm(o), oterm(o)) for _, _, o in graph
+    }
+
+    def closure(pairs):
+        pairs = set(pairs)
+        while True:
+            new = {(a, d) for a, b in pairs for c, d in pairs if b == c} - pairs
+            if not new:
+                return pairs
+            pairs |= new
+
+    def ev(e):
+        k = e[0]
+        if k == "iri":
+            return {(("I", s), oterm(o)) for s, p, o in graph if p == e[1]}
+        if k == "inv":
+            return {(b, a) for a, b in ev(e[1])}
+        if k == "seq":
+            l, r = ev(e[1]), ev(e[2])
+            return {(a, d) for a, b in l for c, d in r if b == c}
+        if k == "alt":
+            return ev(e[1]) | ev(e[2])
+        if k == "plus":
+            return closure(ev(e[1]))
+        if k == "star":
+            return closure(ev(e[1])) | zero
+        if k == "opt":
+            return ev(e[1]) | zero
+        raise AssertionError(k)
+
+    return ev(ast)
+
+
+@given(graph_st, path_ast_st)
+@SETTINGS
+def test_eval_path_matches_naive(spark, graph, ast):
+    from re_shacl_spark.query import eval_path
+
+    df = triples_df(spark, _rows(graph))
+    rows = eval_path(df, _render(ast), keep_meta="ab").collect()
+
+    def term(form, is_lit, lit):
+        if is_lit:
+            return ("L", form, lit["dtype"], lit["lang"])
+        return ("I", form)
+
+    got = {
+        (term(r["a"], r["a_is"], r["a_lit"]), term(r["b"], r["b_is"], r["b_lit"]))
+        for r in rows
+    }
+    want = _naive_path(graph, ast)
+    assert got == want, f"path={_render(ast)}"
+
+
 @given(case_st(), st.sampled_from(PREDS))
 @SETTINGS
 def test_bgp_minus_matches_naive(spark, case, mp):
