@@ -234,6 +234,123 @@ def test_bgp_filter_exists_matches_naive(spark, case, ep, negate):
     assert got == want, f"pats={pats} inner={inner} negate={negate}"
 
 
+@st.composite
+def values_case_st(draw):
+    """A required case plus a VALUES table over a subset of its variables
+    (string forms from the node pool, None = UNDEF, duplicate rows allowed
+    for the multiset check)."""
+    graph, pats = draw(case_st())
+    pvars = sorted({t[1:] for p in pats for t in p if t.startswith("?")})
+    k = draw(st.integers(1, min(2, len(pvars))))
+    names = draw(
+        st.lists(st.sampled_from(pvars), min_size=k, max_size=k, unique=True)
+    )
+    rows = draw(
+        st.lists(
+            st.tuples(*[st.sampled_from(NODES + [None]) for _ in names]),
+            min_size=1,
+            max_size=4,
+        )
+    )
+    return graph, pats, (names, rows)
+
+
+@given(values_case_st())
+@SETTINGS
+def test_bgp_values_matches_naive(spark, case):
+    """VALUES joins by string form with UNDEF wildcards, multiplying
+    multiset cardinality per compatible inline row (§10.2)."""
+    graph, pats, values = case
+    names, rows = values
+    df = triples_df(spark, _rows(graph))
+    out = bgp(df, pats, values=values)
+    cols = sorted(out.columns)
+    got = Counter(tuple(r[v] for v in cols) for r in out.collect())
+
+    want = Counter()
+    for env in _naive_match(graph, pats):
+        mult = sum(
+            1
+            for row in rows
+            if all(v is None or env["?" + n][1] == v for n, v in zip(names, row))
+        )
+        for _ in range(mult):
+            want[_key(env, cols)] += 1
+    assert got == want, f"pats={pats} values={values}"
+
+
+@st.composite
+def update_case_st(draw):
+    """A WHERE case plus delete/insert template lists over its variables and
+    pool constants (IRI or Lit)."""
+    graph, pats = draw(case_st())
+    pvars = sorted({t for p in pats for t in p if t.startswith("?")})
+
+    def tmpl():
+        def term(allow_lit):
+            c = draw(st.integers(0, 3 if allow_lit else 2))
+            if c == 0:
+                return draw(st.sampled_from(pvars))
+            if c == 1 or c == 2:
+                return draw(st.sampled_from(NODES))
+            from re_shacl_spark.query import Lit
+
+            return Lit(draw(st.sampled_from(NODES)))
+
+        return (term(False), draw(st.sampled_from(PREDS)), term(True))
+
+    delete = [tmpl() for _ in range(draw(st.integers(0, 2)))]
+    insert = [tmpl() for _ in range(draw(st.integers(0, 2)))]
+    if not delete and not insert:
+        insert = [tmpl()]
+    return graph, pats, delete, insert
+
+
+@given(update_case_st())
+@SETTINGS
+def test_update_matches_naive_set_algebra(spark, case):
+    """DELETE/INSERT WHERE == (G \\ D) ∪ I on full term identity, both
+    templates instantiated against the PRE-update state."""
+    from re_shacl_spark.model.triples import vocab
+    from re_shacl_spark.query import Lit, update
+
+    graph, pats, delete, insert = case
+    df = triples_df(spark, _rows(graph))
+    out = update(df, pats, delete=delete or None, insert=insert or None)
+
+    def term_of(r):
+        if r["is_lit"]:
+            return ("L", r["o"], r["o_lit"]["dtype"], r["o_lit"]["lang"])
+        return ("I", r["o"])
+
+    got = {(r["s"], r["p"], term_of(r)) for r in out.collect()}
+
+    def inst(env, t):
+        if isinstance(t, Lit):
+            return ("L", t.lex, vocab.XSD + "string", None)
+        if t.startswith("?"):
+            return env[t]
+        return ("I", t)
+
+    envs = _naive_match(graph, pats)
+    d = {
+        (inst(e, s)[1], inst(e, p)[1], inst(e, o))
+        for e in envs
+        for s, p, o in delete
+    }
+    ins = {
+        (inst(e, s)[1], inst(e, p)[1], inst(e, o))
+        for e in envs
+        for s, p, o in insert
+    }
+    g0 = {
+        (s, p, o if o[0] == "L" else ("I", o[1]))
+        for s, p, o in graph
+    }
+    want = (g0 - d) | ins
+    assert got == want, f"pats={pats} delete={delete} insert={insert}"
+
+
 # ---------------------------------------------------------------------------
 # property paths: random path ASTs vs a naive set-algebra evaluator
 # ---------------------------------------------------------------------------
