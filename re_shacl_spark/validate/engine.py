@@ -198,7 +198,12 @@ def _targets(
 def _value_conformance(col_prefix: str = "") -> F.Column:
     """Short-circuiting per-value conformance for one constraint row: nodeKind →
     datatype → in → class/node-ref flags (flags are join-produced booleans).
-    Null o (focus without values) is vacuously conforming."""
+    Null o (focus without values) is vacuously conforming.
+
+    Known pragmatic: sh:in / sh:hasValue compare by the value's STRING FORM
+    (the shapes API carries their entries as plain strings; every committed
+    shape graph lists IRIs or typed numbers with no IRI/literal pun), unlike
+    the count/value collapse below, which keys on full term identity."""
     o = F.col("o")
     is_lit = F.col("is_lit")
     eff_dtype = F.coalesce(

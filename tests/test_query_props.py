@@ -352,6 +352,78 @@ def test_update_matches_naive_set_algebra(spark, case):
 
 
 # ---------------------------------------------------------------------------
+# SHACL validation: random data + one random property shape vs a naive
+# validator (counts over distinct value TERMS, per-term value conformance)
+# ---------------------------------------------------------------------------
+
+XSD_STRING = XSD + "string"
+XSD_INT = XSD + "integer"
+SH_NS = "http://www.w3.org/ns/shacl#"
+
+
+@st.composite
+def shacl_case_st(draw):
+    graph = draw(graph_st)
+    typed = draw(st.lists(st.sampled_from(NODES), max_size=3, unique=True))
+    facets = {
+        "min_count": draw(st.one_of(st.none(), st.integers(0, 2))),
+        "max_count": draw(st.one_of(st.none(), st.integers(0, 2))),
+        "datatype": draw(st.one_of(st.none(), st.sampled_from([XSD_STRING, XSD_INT]))),
+        "node_kind": draw(
+            st.one_of(st.none(), st.sampled_from([SH_NS + "IRI", SH_NS + "Literal"]))
+        ),
+        "min_length": draw(st.one_of(st.none(), st.integers(1, 5))),
+    }
+    return graph, typed, facets
+
+
+@given(shacl_case_st())
+@SETTINGS
+def test_validate_matches_naive_shacl(spark, case):
+    from re_shacl_spark.validate.engine import validate
+    from re_shacl_spark.validate.shapes import NodeShape, PropertyConstraint
+
+    graph, typed, facets = case
+    TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    rows = _rows(graph) + [iri_triple(s, TYPE, "c:C") for s in typed]
+    df = triples_df(spark, rows)
+    shape = NodeShape(
+        shape_id="s:S",
+        target_classes=["c:C"],
+        properties=[PropertyConstraint(path="p:p", **facets)],
+    )
+    rep = validate(spark, df, [shape])
+    got = Counter((r["focus"], r["constraint"]) for r in rep.violations.collect())
+
+    want = Counter()
+    for f in typed:
+        vals = {
+            (o if o[0] == "L" else ("I", o[1]))
+            for s, p, o in graph
+            if s == f and p == "p:p"
+        }
+        if facets["min_count"] is not None and len(vals) < facets["min_count"]:
+            want[(f, "minCount")] += 1
+        if facets["max_count"] is not None and len(vals) > facets["max_count"]:
+            want[(f, "maxCount")] += 1
+        for v in vals:
+            is_lit = v[0] == "L"
+            eff_dtype = (v[2] or (XSD + "langString" if v[3] else XSD_STRING)) if is_lit else None
+            ok = True
+            if facets["datatype"] is not None:
+                ok = ok and is_lit and eff_dtype == facets["datatype"]
+            if facets["node_kind"] == SH_NS + "IRI":
+                ok = ok and not is_lit
+            elif facets["node_kind"] == SH_NS + "Literal":
+                ok = ok and is_lit
+            if facets["min_length"] is not None:
+                ok = ok and len(v[1]) >= facets["min_length"]
+            if not ok:
+                want[(f, "value")] += 1
+    assert got == want, f"typed={typed} facets={facets}"
+
+
+# ---------------------------------------------------------------------------
 # property paths: random path ASTs vs a naive set-algebra evaluator
 # ---------------------------------------------------------------------------
 
