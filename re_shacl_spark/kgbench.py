@@ -3620,6 +3620,37 @@ QUERIES["kg_dataset_from"] = q_kg_dataset_from
 ORACLES["kg_dataset_from"] = SQL_KG_DATASET_FROM
 
 
+def q_kg_serialize_nquads(spark, sf_dir):
+    """N-Quads round-trip (model/serialize.py::write_nquads/read_nquads):
+    the provenance-preserving sink — page-level mention triples go to disk
+    WITH their named graph (src_url) and come back identical, unlike the
+    N-Triples sink which drops lineage by construction (reference serialize
+    sites run_experiment.py:69,120 keep no provenance either).  Pure column
+    algebra both ways; one scan out, one regex parse back."""
+    import tempfile
+
+    from re_shacl_spark.model.serialize import read_nquads, write_nquads
+
+    pages = extract_text(_doc_pages(spark, sf_dir))
+    m = detect_mentions(pages, MENTION_ALIASES, skip_empty_lang=False)
+    t = emit_triples(m).filter(F.col("p") == _KG_NS + "mentions")
+    path = tempfile.mkdtemp(prefix="re_shacl_nq_") + "/graph.nq"
+    write_nquads(t, path)
+    back = read_nquads(spark, path)
+    return back.select("s", "p", "o", F.col("src_url").alias("g"))
+
+
+SQL_KG_SERIALIZE_NQ = f"""WITH m0 AS ({_sql_mentions_cte()}),
+m AS (SELECT url, alias FROM m0 WHERE n > 0)
+SELECT '{_PAGE_PREFIX}'||sha256(url) AS s, '{_KG_NS}mentions' AS p,
+'{_MENTION_PREFIX}'||alias AS o, url AS g
+FROM m"""
+
+
+QUERIES["kg_serialize_nquads"] = q_kg_serialize_nquads
+ORACLES["kg_serialize_nquads"] = SQL_KG_SERIALIZE_NQ
+
+
 def q_v_complex_path(spark, sf_dir):
     """SHACL complex sh:path over the rel KG (validate/engine.py
     _path_value_triples): a sequence path kg:inNation/kg:inRegion with sh:in
@@ -4407,6 +4438,7 @@ _EVIDENCE_PRIORITY = [
     "bgp_graph_comention",
     "kg_graph_mgmt",
     "kg_dataset_from",
+    "kg_serialize_nquads",
     # BGP family: join machinery changed in r4, last driver-checked on r3 code
     "bgp_star_join",
     "bgp_optional",
@@ -4445,7 +4477,8 @@ _EVIDENCE_PRIORITY = [
     # pre-closure convergence flag) — re-evidence the flagship representatives
     "kg_fuse",
     "kg_fuse_delta",
-    "kg_pagerank",
+    # kg_pagerank: r4-green; kg_pagerank_n5 drives the SAME join/agg chain
+    # 2.5x deeper in-window, so the 2-iteration row yields its slot
     "kg_pagerank_n5",
     "kg_extract_text",
     "kg_mentions",
@@ -4459,6 +4492,7 @@ _EVIDENCE_PRIORITY = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_exact",
+    "kg_pagerank",
     # j2_range_scoped: same rule function + Scope machinery as the in-window
     # j1_domain_scoped/j2_range pair — indirectly re-evidenced
     "j2_range_scoped",

@@ -157,3 +157,107 @@ def read_ntriples(
         is_lit.alias("is_lit"),
         F.lit(None).cast("string").alias("src_url"),
     )
+
+
+# ---------------------------------------------------------------------------
+# N-Quads: the provenance-preserving sink (src_url = named graph)
+# ---------------------------------------------------------------------------
+
+def nquads_lines(triples: DataFrame, validate: bool = True) -> DataFrame:
+    """One N-Quads line per triple: like ``ntriples_lines`` plus the graph
+    label — ``src_url`` serialized as the 4th term when present (RDF 1.1
+    N-Quads §2; a null ``src_url`` is the default graph and serializes as a
+    plain 3-term line, which the grammar allows).  This is the sink that
+    round-trips LINEAGE — the N-Triples sink drops it by construction."""
+    term = _checked_term if validate else (lambda c, _what: _term(c))
+    graph = F.when(
+        F.col("src_url").isNotNull(),
+        F.concat(F.lit(" "), term(F.col("src_url"), "graph")),
+    ).otherwise(F.lit(""))
+    lex = _esc(F.col("o_lit.lex"))
+    lit = F.concat(
+        F.lit('"'), lex, F.lit('"'),
+        F.when(F.col("o_lit.lang").isNotNull(), F.concat(F.lit("@"), F.col("o_lit.lang")))
+        .when(
+            F.col("o_lit.dtype").isNotNull(),
+            F.concat(F.lit("^^<"), F.col("o_lit.dtype"), F.lit(">")),
+        )
+        .otherwise(F.lit("")),
+    )
+    obj = F.when(F.col("is_lit"), lit).otherwise(term(F.col("o"), "object"))
+    return triples.select(
+        F.concat(
+            term(F.col("s"), "subject"), F.lit(" "),
+            term(F.col("p"), "predicate"), F.lit(" "),
+            obj, graph, F.lit(" ."),
+        ).alias("line")
+    )
+
+
+def write_nquads(triples: DataFrame, path: str) -> None:
+    """Provenance-preserving graph sink: one part file per partition."""
+    nquads_lines(triples).write.mode("overwrite").text(path)
+
+
+# quad line: lazy object + anchored trailer force the correct split even when
+# a literal body contains "<...>" text (the graph group must be the LAST
+# <...> before the final dot, or the match fails and the line parses as a
+# default-graph triple)
+_QUAD_RE = r"^(<[^>]*>|_:\S+)\s+(<[^>]*>)\s+(.*?)\s+(<[^>]*>)\s*\.\s*$"
+
+
+def read_nquads(
+    spark: SparkSession, path: str, on_malformed: str = "error"
+) -> DataFrame:
+    """Distributed N-Quads source: quad lines land in their named graph
+    (``src_url``), 3-term lines in the default graph (null).  Same malformed
+    handling contract as ``read_ntriples``."""
+    if on_malformed not in ("error", "drop"):
+        raise ValueError(f"on_malformed must be 'error' or 'drop', got {on_malformed!r}")
+    raw = spark.read.text(path).filter(F.trim("value") != "")
+    gq = F.nullif(F.regexp_extract("value", _QUAD_RE, 4), F.lit(""))
+    # strip the graph term off quad lines, then share the triple-line parse
+    stripped = F.when(
+        gq.isNotNull(),
+        F.concat(
+            F.regexp_extract("value", _QUAD_RE, 1), F.lit(" "),
+            F.regexp_extract("value", _QUAD_RE, 2), F.lit(" "),
+            F.regexp_extract("value", _QUAD_RE, 3), F.lit(" ."),
+        ),
+    ).otherwise(F.col("value"))
+    de_iri = lambda c: F.when(  # noqa: E731
+        c.startswith("<"), c.substr(F.lit(2), F.length(c) - 2)
+    ).otherwise(c)
+    tagged = raw.select(stripped.alias("value"), de_iri(gq).alias("_g"))
+    s = F.regexp_extract("value", _LINE_RE, 1)
+    p = F.regexp_extract("value", _LINE_RE, 2)
+    onode = F.regexp_extract("value", _LINE_RE, 3)
+    malformed = (
+        (s == F.lit("")) | (p == F.lit(""))
+        | (onode.startswith('"') & ~onode.rlike(_LIT_RE))
+    )
+    if on_malformed == "drop":
+        tagged = tagged.filter(~malformed)
+    else:
+        tagged = tagged.withColumn(
+            "value",
+            F.when(
+                malformed,
+                F.raise_error(F.concat(F.lit("malformed N-Quads line: "), F.col("value"))),
+            ).otherwise(F.col("value")),
+        )
+    is_lit = onode.startswith('"')
+    lex = _unesc(F.regexp_extract(onode, _LIT_RE, 1))
+    lang = F.nullif(F.regexp_extract(onode, _LIT_RE, 2), F.lit(""))
+    dtype_raw = F.nullif(F.regexp_extract(onode, _LIT_RE, 3), F.lit(""))
+    dtype = F.when(lang.isNotNull(), F.lit(None).cast("string")).otherwise(dtype_raw)
+    return tagged.select(
+        de_iri(s).alias("s"),
+        de_iri(p).alias("p"),
+        F.when(is_lit, lex).otherwise(de_iri(onode)).alias("o"),
+        F.when(is_lit, F.struct(lex.alias("lex"), dtype.alias("dtype"), lang.alias("lang")))
+        .otherwise(F.lit(None).cast(O_LIT_TYPE))
+        .alias("o_lit"),
+        is_lit.alias("is_lit"),
+        F.col("_g").alias("src_url"),
+    )

@@ -133,3 +133,56 @@ def test_literal_roundtrip_fuzz(spark, tmp_path, texts):
     got = {(r.s, r.o) for r in back.collect()}
     want = {(f"http://x.org/s{i}", t) for i, t in enumerate(texts)}
     assert got == want
+
+
+def test_nquads_roundtrip_preserves_graphs(spark, tmp_path):
+    """N-Quads round-trips LINEAGE: named-graph triples keep src_url, default
+    graph rows come back null; literals containing '<...>' text never confuse
+    the graph-term split."""
+    from re_shacl_spark.model.serialize import read_nquads, write_nquads
+    from re_shacl_spark.model.triples import iri_triple, lit_triple, triples_df
+
+    rows = [
+        iri_triple("http://s/a", "http://p/p", "http://o/b", src_url="http://g/1"),
+        iri_triple("http://s/a", "http://p/p", "http://o/c"),  # default graph
+        lit_triple("http://s/b", "http://p/q", "see <http://x> here",
+                   src_url="http://g/2"),
+        lit_triple("http://s/c", "http://p/q", "ends with <angle>"),
+        lit_triple("http://s/d", "http://p/q", "30",
+                   dtype="http://www.w3.org/2001/XMLSchema#integer",
+                   src_url="http://g/1"),
+        lit_triple("http://s/e", "http://p/q", "chat", lang="fr",
+                   src_url="http://g/2"),
+    ]
+    df = triples_df(spark, rows)
+    path = str(tmp_path / "g.nq")
+    write_nquads(df, path)
+    back = read_nquads(spark, path)
+    key = lambda r: (r.s, r.p, r.o, r.is_lit,  # noqa: E731
+                     r.o_lit and (r.o_lit.lex, r.o_lit.dtype, r.o_lit.lang),
+                     r.src_url)
+    assert sorted(map(key, back.collect())) == sorted(map(key, df.collect()))
+
+
+def test_nquads_malformed_and_default_graph_lines(spark, tmp_path):
+    """Hand-written mixed files parse per the grammar: 3-term lines →
+    default graph, 4-term → named; junk errors or drops per contract."""
+    import pytest
+
+    from re_shacl_spark.model.serialize import read_nquads
+
+    p = tmp_path / "mix.nq"
+    p.write_text(
+        '<http://s> <http://p> <http://o> <http://g> .\n'
+        '<http://s> <http://p> "lit with <iri> text" .\n'
+        'garbage line\n'
+    )
+    got = read_nquads(spark, str(p), on_malformed="drop").collect()
+    assert {(r.s, r.src_url) for r in got} == {
+        ("http://s", "http://g"),
+        ("http://s", None),
+    }
+    lit = next(r for r in got if r.is_lit)
+    assert lit.o == "lit with <iri> text"
+    with pytest.raises(Exception, match="malformed"):
+        read_nquads(spark, str(p)).collect()
