@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from collections import Counter
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -349,6 +350,157 @@ def test_update_matches_naive_set_algebra(spark, case):
     }
     want = (g0 - d) | ins
     assert got == want, f"pats={pats} delete={delete} insert={insert}"
+
+
+@st.composite
+def union_case_st(draw):
+    graph = draw(graph_st)
+    branches = []
+    for _ in range(draw(st.integers(2, 3))):
+        _, pats = draw(case_st())
+        branches.append(pats)
+    return graph, branches
+
+
+@given(union_case_st())
+@SETTINGS
+def test_union_matches_naive(spark, case):
+    """UNION is the multiset union of branch solutions; variables absent from
+    a branch are unbound (null) in its rows."""
+    from re_shacl_spark.query import union
+
+    graph, branches = case
+    df = triples_df(spark, _rows(graph))
+    out = union(df, branches)
+    names = sorted(out.columns)
+    got = Counter(tuple(r[v] for v in names) for r in out.collect())
+
+    want = Counter()
+    for b in branches:
+        for env in _naive_match(graph, b):
+            want[
+                tuple(
+                    env["?" + v][1] if ("?" + v) in env else None for v in names
+                )
+            ] += 1
+    assert got == want, f"branches={branches}"
+
+
+@given(case_st(), case_st())
+@SETTINGS
+def test_join_solutions_matches_naive(spark, case_l, case_r):
+    """§18.5 Join of two solution multisets: string-form equi-join on shared
+    variables once the hidden tags are gone (both frames are plain bgp
+    outputs), cartesian guarded."""
+    from re_shacl_spark.query import join_solutions
+
+    graph, pats_l = case_l
+    _, pats_r = case_r
+    df = triples_df(spark, _rows(graph))
+    left, right = bgp(df, pats_l), bgp(df, pats_r)
+    shared = sorted(set(left.columns) & set(right.columns))
+    if not shared:
+        with pytest.raises(ValueError, match="cartesian"):
+            join_solutions(left, right)
+        return
+    out = join_solutions(left, right)
+    names = sorted(out.columns)
+    envs_l = _naive_match(graph, pats_l)
+    envs_r = _naive_match(graph, pats_r)
+    want = Counter()
+    for el in envs_l:
+        for er in envs_r:
+            if all(el["?" + v][1] == er["?" + v][1] for v in shared):
+                merged = {**{k: v[1] for k, v in er.items()}, **{k: v[1] for k, v in el.items()}}
+                want[tuple(merged["?" + v] for v in names)] += 1
+    got = Counter(tuple(r[v] for v in names) for r in out.collect())
+    assert got == want, f"l={pats_l} r={pats_r}"
+
+
+@st.composite
+def agg_case_st(draw):
+    """A random solution frame (x mandatory, y nullable, numeric-ish forms
+    mixed in) plus a GROUP BY choice."""
+    rows = draw(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["n:a", "n:b", "1", "2.5"]),
+                st.sampled_from(["n:a", "3", "x", None]),
+            ),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    group = draw(st.sampled_from([[], ["x"]]))
+    return rows, group
+
+
+@given(agg_case_st())
+@SETTINGS
+def test_aggregate_matches_naive(spark, case):
+    """GROUP BY aggregates: COUNT(*) vs COUNT(?v) null-skipping,
+    COUNT(DISTINCT), lexicographic MIN/MAX, deterministic SAMPLE (min),
+    sorted GROUP_CONCAT, SUM/AVG over try_cast doubles."""
+    import math
+
+    from re_shacl_spark.query import aggregate
+
+    rows, group = case
+    df = spark.createDataFrame(rows, "x string, y string")
+    out = aggregate(
+        df,
+        group,
+        {
+            "n": ("count", "*"),
+            "ny": ("count", "y"),
+            "dy": ("count_distinct", "y"),
+            "mn": ("min", "y"),
+            "smp": ("sample", "y"),
+            "gc": ("group_concat", "y", ","),
+            "sm": ("sum", "y"),
+            "av": ("avg", "y"),
+        },
+    )
+    got = {
+        (tuple(r[g] for g in group)): (
+            r["n"], r["ny"], r["dy"], r["mn"], r["smp"], r["gc"],
+            r["sm"], r["av"],
+        )
+        for r in out.collect()
+    }
+
+    def to_num(v):
+        try:
+            return float(v)
+        except (TypeError, ValueError):
+            return None
+
+    groups: dict[tuple, list] = {}
+    for x, y in rows:
+        groups.setdefault((x,) if group else (), []).append(y)
+    want = {}
+    for k, ys in groups.items():
+        bound = [y for y in ys if y is not None]
+        nums = [to_num(y) for y in bound]
+        nums = [n for n in nums if n is not None]
+        want[k] = (
+            len(ys),
+            len(bound),
+            len(set(bound)),
+            min(bound) if bound else None,
+            min(bound) if bound else None,
+            ",".join(sorted(bound)),
+            sum(nums) if nums else None,
+            (sum(nums) / len(nums)) if nums else None,
+        )
+    assert set(got) == set(want)
+    for k in want:
+        ga, wa = got[k], want[k]
+        assert ga[:6] == wa[:6], f"group {k}: {ga} != {wa}"
+        for gv, wv in zip(ga[6:], wa[6:]):
+            assert (gv is None) == (wv is None) and (
+                gv is None or math.isclose(gv, wv)
+            ), f"group {k}: {ga} != {wa}"
 
 
 # ---------------------------------------------------------------------------
