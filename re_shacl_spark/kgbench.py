@@ -4374,6 +4374,61 @@ QUERIES["bgp_numeric_funcs"] = q_bgp_numeric_funcs
 ORACLES["bgp_numeric_funcs"] = SQL_BGP_NUMERIC_FUNCS
 
 
+def q_bgp_hash_funcs(spark, sf_dir):
+    """SPARQL 1.1 §17.4.4 hash functions and the remaining term/string
+    constructors over literal bindings: BIND(MD5/SHA256), ENCODE_FOR_URI
+    (explicit percent-escape chain — SPARQL mandates %20 for space, NOT the
+    form-encoding '+' that url_encode builtins produce, so both engines run
+    the same literal replace chain), IRI() minting from the escaped string,
+    STRBEFORE, xsd:integer() cast (type error → unbound, via try_cast), and
+    regex REPLACE/FILTER-REGEX on Java∩RE2-safe patterns ('0+', '[13579]$').
+    All plain JVM Column ops inside the BGP solution — no UDF.  The reference
+    has no query surface; this completes the rebuilt extension's §17.4
+    builtin families alongside bgp_string_funcs/bgp_numeric_funcs.
+
+    DuckDB mirror notes: duckdb regexp_replace replaces the FIRST match
+    unless given the 'g' flag (Spark's replaces all); md5()/sha256() hash
+    UTF-8 bytes and print lowercase hex on both engines."""
+    from re_shacl_spark.query import bgp
+
+    cust = _read(spark, sf_dir, "customer")
+    t = _lit_rows(cust, _iri("c:", F.col("c_custkey")), "kg:name",
+                  F.col("c_name"), F.lit(XSD_STRING))
+    v = F.col("v")
+    enc = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(v, "%", "%25"), " ", "%20"),
+        "#", "%23")
+    return bgp(
+        t, [("?c", "kg:name", "?v")],
+        bind={
+            "h_md5": F.md5(v),
+            "h_sha256": F.sha2(v, 256),
+            "enc": enc,
+            "iri": F.concat(F.lit("kg:c/"), enc),
+            "before": F.substring_index(v, "#", 1),
+            "num": F.expr("try_cast(substring_index(v, '#', -1) AS bigint)"),
+            "packed": F.regexp_replace(v, "0+", "_"),
+        },
+        where=v.rlike("[13579]$"),
+        select=["c", "v", "h_md5", "h_sha256", "enc", "iri",
+                "before", "num", "packed"],
+    )
+
+
+_SQL_ENC = "replace(replace(replace(c_name,'%','%25'),' ','%20'),'#','%23')"
+SQL_BGP_HASH_FUNCS = f"""SELECT 'c:'||c_custkey::varchar AS c, c_name AS v,
+md5(c_name) AS h_md5, sha256(c_name) AS h_sha256,
+{_SQL_ENC} AS enc, 'kg:c/'||{_SQL_ENC} AS iri,
+split_part(c_name, '#', 1) AS before,
+try_cast(split_part(c_name, '#', 2) AS BIGINT) AS num,
+regexp_replace(c_name, '0+', '_', 'g') AS packed
+FROM customer WHERE regexp_matches(c_name, '[13579]$')"""
+
+
+QUERIES["bgp_hash_funcs"] = q_bgp_hash_funcs
+ORACLES["bgp_hash_funcs"] = SQL_BGP_HASH_FUNCS
+
+
 # ---------------------------------------------------------------------------
 # Bigram LM fluency scoring (ops/textstats.py::lm_transition_score): the
 # perplexity-style corpus quality filter, in exact ppm integer math so the
@@ -4410,6 +4465,38 @@ QUERIES["text_lm_score"] = q_text_lm_score
 ORACLES["text_lm_score"] = SQL_TEXT_LM_SCORE
 
 
+def q_text_tfidf(spark, sf_dir):
+    """Per-document top-5 keywords by tf-idf (ops/textstats.tfidf_topk):
+    corpus df aggregation + idf from the distinct-df value set (driver libm
+    ln, broadcast back — Java Math.log is 1-ulp off glibc on ~0.02% of
+    inputs, a cross-engine hash lottery; CPython and DuckDB share the
+    platform libm), per-doc bounded top-k window.  Scores emitted rounded
+    to 6 decimals per the per-row float-fold rule."""
+    from re_shacl_spark.ops.textstats import tfidf_topk
+
+    return tfidf_topk(_read(spark, sf_dir, "documents"), k=5)
+
+
+SQL_TEXT_TFIDF = f"""WITH w AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '{SQL_WSP}')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+       FROM w WHERE term != '' GROUP BY 1, 2),
+dfq AS (SELECT term, count(*)::BIGINT AS dfreq FROM tf GROUP BY 1),
+s AS (SELECT doc_id, term, tf, dfreq,
+        tf * ln((SELECT count(*) FROM documents)::DOUBLE / dfreq) AS score
+      FROM tf JOIN dfq USING (term)),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        ORDER BY score DESC, term) AS rn FROM s)
+SELECT doc_id, term, tf, dfreq, round(score, 6) AS tfidf
+FROM r WHERE rn <= 5"""
+
+
+QUERIES["text_tfidf"] = q_text_tfidf
+ORACLES["text_tfidf"] = SQL_TEXT_TFIDF
+
+
 # ---------------------------------------------------------------------------
 # Driver evidence ordering.  The grading driver records correctness rows for
 # roughly the first 50 registry entries per round (CORRECTNESS_r01/r02 both
@@ -4439,6 +4526,9 @@ _EVIDENCE_PRIORITY = [
     "kg_graph_mgmt",
     "kg_dataset_from",
     "kg_serialize_nquads",
+    # new in this session: remaining §17.4 builtin families + tf-idf
+    "bgp_hash_funcs",
+    "text_tfidf",
     # BGP family: join machinery changed in r4, last driver-checked on r3 code
     "bgp_star_join",
     "bgp_optional",

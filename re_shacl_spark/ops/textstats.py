@@ -270,3 +270,65 @@ def lm_transition_score(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.expr("sum(k * ppm) div sum(k)").alias("lm_score_ppm"),
         )
     )
+
+
+def tfidf_topk(
+    df: DataFrame, k: int = 5, text_col: str = "text", jvm_log: bool = False
+) -> DataFrame:
+    """Per-document top-k keyword extraction by tf-idf.
+
+    tf = per-(doc, term) occurrence count; idf = ln(N / df) with N the corpus
+    document count and df the term's document frequency; score = tf · idf,
+    ranked per document (ties broken by term string, then emitted rounded to
+    6 decimals — the repo-wide per-row float-fold rule).
+
+    Plan shape (100 TB posture): one explode → (doc, term) map-side-combined
+    count, one (term) aggregation for df, then a join back.  The idf itself
+    is computed from the *distinct df values* — a set bounded by the number
+    of distinct realized document frequencies (heavy-tailed: O(√#terms) in
+    practice, ≪ #terms) — on the driver with Python's libm ``ln`` and
+    broadcast back.  Rationale: Java's ``Math.log`` differs from glibc by
+    1 ulp on ~0.02% of inputs (measured), which would make the DuckDB oracle
+    a hash lottery; CPython and DuckDB both bind the platform libm and agree
+    bit-for-bit.  At production scale where no oracle rides along, pass
+    ``jvm_log=True`` to keep the whole plan JVM-side (``F.log``) with no
+    driver materialization — the 1-ulp drift is immaterial without a
+    cross-engine comparison.  Top-k per doc is a bounded window (rank ≤ k)
+    partitioned by doc_id — no global sort, no skew (per-doc term counts are
+    document-sized).
+    """
+    import math
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_docs = df.count()
+    terms = (
+        df.select("doc_id", F.explode(F.split(F.lower(F.trim(t)), TOKEN_SPLIT)).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    if jvm_log:
+        scored = tf.join(dfreq, "term").withColumn(
+            "score", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("dfreq"))
+        )
+    else:
+        spark = df.sparkSession
+        dfs = [r[0] for r in dfreq.select("dfreq").distinct().collect()]
+        idf = spark.createDataFrame(
+            [(int(d), math.log(n_docs / d)) for d in dfs], "dfreq long, idf double"
+        )
+        scored = tf.join(dfreq, "term").join(F.broadcast(idf), "dfreq").withColumn(
+            "score", F.col("tf") * F.col("idf")
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "doc_id", "term", F.col("tf").cast("long").alias("tf"),
+            F.col("dfreq").cast("long").alias("dfreq"),
+            F.round("score", 6).alias("tfidf"),
+        )
+    )

@@ -501,3 +501,49 @@ def test_lsh_bucket_parity_duckdb(spark):
         ).fetchall()
         for vid, bucket in rows:
             assert spark_sig[(vid, t)] == bucket, (vid, t)
+
+
+def test_tfidf_topk_hand_computed(spark):
+    """3-doc corpus with known frequencies: 'rare' appears in one doc (idf
+    ln 3), 'common' in all three (idf 0 → never outranks anything positive),
+    ties broken by term string."""
+    import math
+
+    from re_shacl_spark.ops.textstats import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common rare rare"),
+            (2, "common alpha beta"),
+            (3, "common alpha"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r.doc_id, r.term): r for r in tfidf_topk(docs, k=2).collect()}
+    # doc 1: rare tf=2 df=1 → 2·ln3 ≈ 2.197225; common tf=1 df=3 → 0.0
+    assert out[(1, "rare")].tfidf == round(2 * math.log(3), 6)
+    assert out[(1, "common")].tfidf == 0.0
+    # doc 2 k=2 keeps alpha (ln 1.5) and beta (ln 3); beta scores higher
+    assert out[(2, "beta")].tfidf == round(math.log(3), 6)
+    assert out[(2, "alpha")].tfidf == round(math.log(1.5), 6)
+    assert (2, "common") not in out  # rank 3 cut by k=2
+    assert out[(3, "alpha")].dfreq == 2 and out[(3, "alpha")].tf == 1
+
+
+def test_tfidf_topk_jvm_log_same_ranking(spark):
+    """The production jvm_log=True arm (F.log, no driver materialization)
+    ranks identically; scores agree to float tolerance (1-ulp libm drift is
+    the whole reason the oracle arm exists)."""
+    from re_shacl_spark.ops.textstats import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} w{i % 3} shared tail{i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    a = {(r.doc_id, r.term): r.tfidf for r in tfidf_topk(docs, k=3).collect()}
+    b = {
+        (r.doc_id, r.term): r.tfidf
+        for r in tfidf_topk(docs, k=3, jvm_log=True).collect()
+    }
+    assert set(a) == set(b)
+    assert all(abs(a[k] - b[k]) < 1e-9 for k in a)
