@@ -2644,6 +2644,59 @@ ORACLES["v_pattern"] = SQL_V_PATTERN
 ORACLES["v_length"] = SQL_V_LENGTH
 
 
+def q_v_sparql_constraint(spark, sf_dir):
+    """sh:sparql SPARQL-based constraint (SHACL §5, validate/sparql.py),
+    end-to-end through the FULL path: turtle text with a triple-quoted
+    sh:select → model/ttl parse → compile_shapes → one distributed bgp plan
+    per constraint joined against the target set (engine._sparql_violations;
+    never a per-focus loop).  The constraint flags customers holding a
+    negative balance outside the MACHINERY segment — a two-pattern join plus
+    a mixed numeric/string FILTER (&&, SPARQL type-error→row-drop via
+    try_cast).  `@prefix kg: <kg:>` resolves prefixed names to the graph's
+    compact-IRI convention.  Balances ride as exact integer-cent lexicals
+    (floor(bal·100) — IEEE-identical on both engines)."""
+    from re_shacl_spark.model.ttl import parse_ttl
+    from re_shacl_spark.validate.shapes import compile_shapes
+
+    cust = _read(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    cents = F.floor(F.col("c_acctbal") * 100).cast("long").cast("string")
+    bal = _lit_rows(cust, _iri("c:", k), "kg:bal", cents,
+                    F.lit(vocab.XSD + "integer"))
+    seg = _lit_rows(cust, _iri("c:", k), "kg:seg", F.col("c_mktsegment"),
+                    F.lit(XSD_STRING))
+    t = _cust_targets(spark, sf_dir).unionByName(bal).unionByName(seg)
+    ttl = '''
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix kg: <kg:> .
+kg:NegBalShape a sh:NodeShape ;
+  sh:targetClass kg:Customer ;
+  sh:sparql [
+    sh:message "negative balance outside MACHINERY" ;
+    sh:select """
+      SELECT $this ?value
+      WHERE {
+        $this kg:bal ?value .
+        $this kg:seg ?s .
+        FILTER (?value < 0 && ?s != "MACHINERY")
+      }
+    """ ;
+  ] .
+'''
+    return validate(spark, t, compile_shapes(parse_ttl(ttl))).violations
+
+
+SQL_V_SPARQL = """SELECT 'c:'||c_custkey::varchar AS focus,
+'kg:NegBalShape' AS shape, NULL::VARCHAR AS path, 'sparql' AS "constraint",
+floor(c_acctbal * 100)::BIGINT::varchar AS value
+FROM customer
+WHERE floor(c_acctbal * 100) < 0 AND c_mktsegment != 'MACHINERY'"""
+
+
+QUERIES["v_sparql_constraint"] = q_v_sparql_constraint
+ORACLES["v_sparql_constraint"] = SQL_V_SPARQL
+
+
 
 # ---------------------------------------------------------------------------
 # SHACL round-3 constraint kinds: logical combinators (sh:and / sh:xone),
@@ -4526,9 +4579,11 @@ _EVIDENCE_PRIORITY = [
     "kg_graph_mgmt",
     "kg_dataset_from",
     "kg_serialize_nquads",
-    # new in this session: remaining §17.4 builtin families + tf-idf
+    # new in this session: remaining §17.4 builtin families, tf-idf,
+    # sh:sparql SPARQL-based constraints
     "bgp_hash_funcs",
     "text_tfidf",
+    "v_sparql_constraint",
     # BGP family: join machinery changed in r4, last driver-checked on r3 code
     "bgp_star_join",
     "bgp_optional",

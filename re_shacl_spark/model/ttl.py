@@ -4,7 +4,8 @@ Covers the subset used by the reference's committed fixtures and shape graphs
 (/root/reference/source/Datasets/test.ttl, source/ShapesGraphs/*.ttl):
 @prefix / @base, IRIs, prefixed names, `a`, predicate lists `;`, object lists `,`,
 anonymous bnodes `[ ... ]`, RDF collections `( ... )`, string literals with
-`^^datatype` / `@lang`, bare integers/decimals/booleans, and `#` comments.
+`^^datatype` / `@lang`, triple-quoted long strings (multi-line sh:select
+text), bare integers/decimals/booleans, and `#` comments.
 
 Output is a list of triple tuples in the engine's row layout (see
 model/triples.py).  Shapes graphs are small (<=8.4k lines in the reference), so a
@@ -22,6 +23,7 @@ _TOKEN_RE = re.compile(
     r"""
       (?P<comment>\#[^\n]*)
     | (?P<iri><[^>]*>)
+    | (?P<tstring>"{3}(?:[^"\\]|\\.|"(?!""))*"{3})
     | (?P<string>"(?:[^"\\]|\\.)*")
     | (?P<langtag>@[a-zA-Z][a-zA-Z0-9-]*)
     | (?P<dcaret>\^\^)
@@ -192,9 +194,10 @@ class _Parser:
 
     def _term_or_literal(self):
         kind, val = self._peek()
-        if kind == "string":
+        if kind in ("string", "tstring"):
+            # tstring: triple-quoted long literal (multi-line sh:select text)
             self._next()
-            lex = _unescape(val[1:-1])
+            lex = _unescape(val[3:-3] if kind == "tstring" else val[1:-1])
             dtype, lang = None, None
             k2, v2 = self._peek()
             if k2 == "dcaret":

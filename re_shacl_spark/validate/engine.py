@@ -292,7 +292,16 @@ def validate(
         schema = "focus string, shape string, path string, constraint string, value string"
         if with_details:
             schema += ", severity string, message string"
-        return ValidationReport(spark.createDataFrame([], schema), True, 0)
+        empty = spark.createDataFrame([], schema)
+        if not any(ns.sparql_constraints for ns in shapes):
+            return ValidationReport(empty, True, 0)
+        # shapes carrying ONLY sh:sparql constraints: no grid to build —
+        # evaluate the SPARQL blocks against the targets directly
+        targets = _targets(spark, triples, shapes, tbox)
+        sv = _sparql_violations(spark, triples, targets, shapes, with_details)
+        violations = empty.unionByName(sv) if sv is not None else empty
+        violations = violations.localCheckpoint(eager=True)
+        return ValidationReport(violations, violations.isEmpty(), len(shapes))
     pcs = F.broadcast(spark.createDataFrame(pc_rows, _PC_SCHEMA))
     base_pcs = pcs.filter(F.col("branch_idx").isNull())
 
@@ -513,6 +522,7 @@ def validate(
     for extra in (
         _pair_violations(spark, val_triples, targets, shapes, with_details),
         _closed_violations(spark, triples, targets, shapes, with_details),
+        _sparql_violations(spark, triples, targets, shapes, with_details),
     ):
         if extra is not None:
             violations = violations.unionByName(extra)
@@ -698,6 +708,63 @@ def _closed_violations(
         F.lit("closed").alias("constraint"), F.col("o").cast("string").alias("value"),
         *detail_cols,
     )
+
+
+def _sparql_violations(
+    spark: SparkSession,
+    triples: DataFrame,
+    targets: DataFrame,
+    shapes: list[NodeShape],
+    with_details: bool = False,
+) -> DataFrame | None:
+    """sh:sparql (SHACL §5, restricted fragment — validate/sparql.py): each
+    constraint's SELECT compiles to ONE distributed query.bgp plan over the
+    whole graph; §5.3.2's per-focus $this pre-binding is realized as an
+    equi-join of the solution's ``this`` column against the shape's target
+    set — never a per-focus loop, so a 10^12-triple graph pays one plan per
+    constraint, with Catalyst pushing the FILTERs below the pattern joins.
+    Every distinct solution row is one violation; a projected ``?value``
+    populates sh:value (SHACL §5.3.3), path is unbound at node-shape level."""
+    from re_shacl_spark.validate.sparql import evaluate, parse_select
+
+    parts: list[DataFrame] = []
+    for ns in shapes:
+        for sc in ns.sparql_constraints:
+            sol = evaluate(triples, parse_select(sc.select, sc.prefixes))
+            val = (
+                F.col("value").cast("string")
+                if "value" in sol.columns
+                else F.lit(None).cast("string")
+            )
+            sel = sol.select(F.col("this").alias("focus"), val.alias("value")).distinct()
+            foc = (
+                targets.filter(F.col("shape_id") == ns.shape_id)
+                .select("focus").distinct()
+            )
+            detail_cols = (
+                [
+                    F.lit(ns.severity or SH + "Violation").alias("severity"),
+                    F.lit(sc.message or ns.message).cast("string").alias("message"),
+                ]
+                if with_details
+                else []
+            )
+            parts.append(
+                sel.join(foc, "focus").select(
+                    "focus",
+                    F.lit(ns.shape_id).alias("shape"),
+                    F.lit(None).cast("string").alias("path"),
+                    F.lit("sparql").alias("constraint"),
+                    "value",
+                    *detail_cols,
+                )
+            )
+    if not parts:
+        return None
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x)
+    return out
 
 
 def _path_value_triples(triples: DataFrame, shapes: list[NodeShape]) -> DataFrame:

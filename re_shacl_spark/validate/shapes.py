@@ -113,6 +113,9 @@ class NodeShape:
     # path, an ignored property, or rdf:type
     closed: bool = False
     ignored_properties: list[str] = field(default_factory=list)
+    # sh:sparql SPARQL-based constraints (SHACL §5) — restricted SELECT
+    # fragment, compiled and evaluated by validate/sparql.py
+    sparql_constraints: list = field(default_factory=list)
 
 
 def _collect_list(pox: dict, head: str) -> list[str]:
@@ -255,6 +258,20 @@ def compile_shapes(shape_triples: list[tuple]) -> list[NodeShape]:
         if row[4]:  # is_lit
             literal_vals[(s, p)].append(o)
 
+    # sh:declare prefix declarations anywhere in the shapes graph (SHACL
+    # §5.2.1): `?x sh:declare [ sh:prefix "kg" ; sh:namespace "http://…" ]`.
+    # Collected graph-wide and handed to every sh:sparql constraint — the
+    # spec's sh:prefixes indirection collapses to "all declared prefixes",
+    # a documented simplification (shapes graphs are driver-side and tiny).
+    declared_prefixes: dict[str, str] = {}
+    for po in pox.values():
+        for dnode in po.get(SH + "declare", []):
+            dp = pox.get(dnode, {})
+            pfx = dp.get(SH + "prefix")
+            ns_iri = dp.get(SH + "namespace")
+            if pfx and ns_iri:
+                declared_prefixes[pfx[0]] = ns_iri[0]
+
     shapes: list[NodeShape] = []
     node_shape_ids = [s for s, po in pox.items() if SH + "NodeShape" in po.get(vocab.TYPE, [])]
     # PropertyShapes declared standalone (Shape_30 style: `a sh:PropertyShape`)
@@ -297,6 +314,18 @@ def compile_shapes(shape_triples: list[tuple]) -> list[NodeShape]:
         self_pc.path = None
         if self_pc.has_value_constraints():
             ns.self_constraint = self_pc
+        # sh:sparql blocks: [ sh:select """…""" ; sh:message "…" ]
+        for snode in po.get(SH + "sparql", []):
+            sp = pox.get(snode, {})
+            sel = sp.get(SH + "select")
+            if sel:
+                from re_shacl_spark.validate.sparql import SparqlConstraint
+
+                ns.sparql_constraints.append(SparqlConstraint(
+                    select=sel[0],
+                    message=(sp.get(SH + "message") or [None])[0],
+                    prefixes=dict(declared_prefixes),
+                ))
         shapes.append(ns)
     # a sh:qualifiedValueShape naming a DECLARED NodeShape resolves membership
     # through the sh:node conforming-set machinery (engine._resolve_node_refs)

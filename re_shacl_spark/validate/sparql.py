@@ -1,0 +1,370 @@
+"""Restricted SHACL-SPARQL constraints: sh:sparql / sh:select (SHACL §5).
+
+The reference validates SHACL-Core via pyshacl (re_shacl.py's
+`validate(...)` call sites; its committed shape graphs use no SPARQL-based
+constraints), so this module is rebuilt-extension surface on the standard
+contract: a SELECT query mentioning ``$this`` runs once per shape with the
+focus-node variable pre-bound by a join against the shape's target set, and
+every solution row is one violation (SHACL §5.3: result generation from
+solutions; ``?value`` populates sh:value when projected).
+
+The accepted grammar is a *documented restriction* of SPARQL — the
+conjunctive fragment the repo's query engine evaluates natively — NOT a
+full parser:
+
+    (PREFIX pn: <iri>)*
+    SELECT ($this | ?var)+  |  SELECT *
+    WHERE { t1 . t2 . FILTER ( expr ) ... }
+
+Triple-pattern terms: ``$this`` / ``?var``, ``<iri>``, prefixed names,
+``a``, string literals (``"s"``, ``"s"@lang``, ``"s"^^<dt>``,
+``"s"^^pn:l``) and bare numerals (typed xsd:integer / xsd:decimal).
+FILTER expressions: ``||  &&  !  ( )``, comparisons ``= != < <= > >=``,
+over variables, string/number constants and the call subset
+STRLEN / STR / UCASE / LCASE / ABS (value-producing) and CONTAINS /
+STRSTARTS / STRENDS / REGEX / isIRI / isLiteral / BOUND
+(boolean-producing).  REGEX patterns must stay in the Java∩RE2-safe class
+the repo uses everywhere on the oracle boundary (no ``\\s``, no
+backreferences).
+
+Comparison typing follows SPARQL's operator-dispatch-with-type-errors: when
+either side of a comparison is numeric (a numeric constant, STRLEN or ABS),
+variable sides are coerced with ``try_cast(x AS double)`` — a non-numeric
+lexical makes the comparison NULL and the row is filtered out, which is
+exactly SPARQL's type-error-eliminates-the-solution semantics, with no
+ANSI-mode throw.
+
+Undeclared prefixed names pass through verbatim: the engine's graphs use
+compact ``kg:…`` strings as IRIs (model/triples.py convention), so a
+constraint author can name graph terms directly; names whose prefix IS
+declared (PREFIX here, or sh:declare in the shapes graph) expand to full
+IRIs.  Everything compiles onto query.bgp — one distributed plan per
+constraint, filters pushed below the joins by Catalyst, no per-focus loop.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from re_shacl_spark.model.triples import vocab
+
+
+@dataclass(frozen=True)
+class SparqlConstraint:
+    """One sh:sparql block attached to a NodeShape."""
+
+    select: str
+    message: str | None = None
+    prefixes: dict[str, str] = field(default_factory=dict)
+
+
+@dataclass
+class ParsedSelect:
+    select_vars: list[str]          # without '?'; '$this' normalized to 'this'
+    star: bool
+    patterns: list[tuple]           # query.bgp pattern terms
+    filters: list                   # expr ASTs (conjoined)
+    prefixes: dict[str, str]
+
+
+_TOK = re.compile(
+    r"""
+      (?P<ws>\s+|\#[^\n]*)
+    | (?P<iri><[^>\s]*>)
+    | (?P<string>"(?:[^"\\]|\\.)*")
+    | (?P<num>[+-]?\d+(?:\.\d+)?)
+    | (?P<var>[?$][A-Za-z_][A-Za-z0-9_]*)
+    | (?P<dcaret>\^\^)
+    | (?P<langtag>@[A-Za-z][A-Za-z0-9-]*)
+    | (?P<op>&&|\|\||!=|<=|>=|[=<>!(){}.,*])
+    | (?P<pname>[A-Za-z_][\w-]*)?:(?P<local>[\w.-]*)
+    | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
+    """,
+    re.VERBOSE,
+)
+
+_ESC = {"\\n": "\n", "\\t": "\t", "\\r": "\r", '\\"': '"', "\\\\": "\\"}
+
+_VALUE_CALLS = {"STRLEN", "STR", "UCASE", "LCASE", "ABS"}
+_BOOL_CALLS = {
+    "CONTAINS", "STRSTARTS", "STRENDS", "REGEX", "ISIRI", "ISLITERAL", "BOUND",
+}
+_NUMERIC_CALLS = {"STRLEN", "ABS"}
+
+
+def _tokens(text: str) -> list[tuple[str, str]]:
+    out, pos = [], 0
+    while pos < len(text):
+        m = _TOK.match(text, pos)
+        if not m:
+            raise ValueError(f"sh:sparql: cannot tokenize at {text[pos:pos+30]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        if kind == "local" or (m.group("local") is not None and kind == "pname"):
+            out.append(("pname", (m.group("pname") or "") + ":" + m.group("local")))
+        else:
+            out.append((kind, m.group(0)))
+    return out
+
+
+class _P:
+    def __init__(self, toks: list[tuple[str, str]], prefixes: dict[str, str]):
+        self.t = toks
+        self.i = 0
+        self.prefixes = dict(prefixes)
+
+    def peek(self):
+        return self.t[self.i] if self.i < len(self.t) else ("eof", "")
+
+    def next(self):
+        tok = self.peek()
+        self.i += 1
+        return tok
+
+    def expect(self, kind: str, val: str | None = None):
+        k, v = self.next()
+        if k != kind or (val is not None and v.upper() != val.upper()):
+            raise ValueError(f"sh:sparql: expected {val or kind}, got {v!r}")
+        return v
+
+    # -- terms -------------------------------------------------------------
+    def _expand(self, pname: str) -> str:
+        pn, local = pname.split(":", 1)
+        base = self.prefixes.get(pn)
+        return base + local if base is not None else pname
+
+    def _string_lit(self, raw: str):
+        from re_shacl_spark.query import Lit
+
+        lex = re.sub(r"\\[ntr\"\\]", lambda m: _ESC[m.group(0)], raw[1:-1])
+        k, v = self.peek()
+        if k == "langtag":
+            self.next()
+            return Lit(lex, lang=v[1:])
+        if k == "dcaret":
+            self.next()
+            dk, dv = self.next()
+            if dk == "iri":
+                return Lit(lex, dtype=dv[1:-1])
+            if dk == "pname":
+                return Lit(lex, dtype=self._expand(dv))
+            raise ValueError(f"sh:sparql: bad datatype token {dv!r}")
+        return Lit(lex)
+
+    def term(self):
+        from re_shacl_spark.query import Lit
+
+        k, v = self.next()
+        if k == "var":
+            name = "this" if v[1:] == "this" else v[1:]
+            return "?" + name
+        if k == "iri":
+            return v[1:-1]
+        if k == "pname":
+            return self._expand(v)
+        if k == "word" and v == "a":
+            return vocab.TYPE
+        if k == "string":
+            return self._string_lit(v)
+        if k == "num":
+            dt = vocab.XSD + ("decimal" if "." in v else "integer")
+            return Lit(v, dtype=dt)
+        raise ValueError(f"sh:sparql: bad pattern term {v!r}")
+
+    # -- FILTER expression grammar ----------------------------------------
+    def expr(self):
+        node = self.and_()
+        while self.peek() == ("op", "||"):
+            self.next()
+            node = ("or", node, self.and_())
+        return node
+
+    def and_(self):
+        node = self.not_()
+        while self.peek() == ("op", "&&"):
+            self.next()
+            node = ("and", node, self.not_())
+        return node
+
+    def not_(self):
+        if self.peek() == ("op", "!"):
+            self.next()
+            return ("not", self.not_())
+        return self.cmp()
+
+    def cmp(self):
+        left = self.value()
+        k, v = self.peek()
+        if k == "op" and v in ("=", "!=", "<", "<=", ">", ">="):
+            self.next()
+            return ("cmp", v, left, self.value())
+        return left
+
+    def value(self):
+        k, v = self.peek()
+        if (k, v) == ("op", "("):
+            self.next()
+            node = self.expr()
+            self.expect("op", ")")
+            return node
+        if k == "var":
+            self.next()
+            return ("var", "this" if v[1:] == "this" else v[1:])
+        if k == "num":
+            self.next()
+            return ("num", v)
+        if k == "string":
+            self.next()
+            lex = re.sub(r"\\[ntr\"\\]", lambda m: _ESC[m.group(0)], v[1:-1])
+            return ("str", lex)
+        if k == "word" and v.upper() in _VALUE_CALLS | _BOOL_CALLS:
+            self.next()
+            self.expect("op", "(")
+            args = [self.value()]
+            while self.peek() == ("op", ","):
+                self.next()
+                args.append(self.value())
+            self.expect("op", ")")
+            return ("call", v.upper(), args)
+        raise ValueError(f"sh:sparql: bad FILTER atom {v!r}")
+
+
+def parse_select(text: str, prefixes: dict[str, str] | None = None) -> ParsedSelect:
+    p = _P(_tokens(text), prefixes or {})
+    while p.peek()[0] == "word" and p.peek()[1].upper() == "PREFIX":
+        p.next()
+        pk, pv = p.next()
+        if pk != "pname" or not pv.endswith(":"):
+            raise ValueError(f"sh:sparql: bad PREFIX name {pv!r}")
+        iri = p.expect("iri")
+        p.prefixes[pv[:-1]] = iri[1:-1]
+    p.expect("word", "SELECT")
+    sel, star = [], False
+    if p.peek() == ("op", "*"):
+        p.next()
+        star = True
+    else:
+        while p.peek()[0] == "var":
+            _, v = p.next()
+            sel.append("this" if v[1:] == "this" else v[1:])
+        if not sel:
+            raise ValueError("sh:sparql: SELECT needs $this/?vars or *")
+    p.expect("word", "WHERE")
+    p.expect("op", "{")
+    patterns, filters = [], []
+    while p.peek() != ("op", "}"):
+        if p.peek()[0] == "word" and p.peek()[1].upper() == "FILTER":
+            p.next()
+            p.expect("op", "(")
+            filters.append(p.expr())
+            p.expect("op", ")")
+        else:
+            patterns.append((p.term(), p.term(), p.term()))
+        if p.peek() == ("op", "."):
+            p.next()
+    p.expect("op", "}")
+    if not patterns:
+        raise ValueError("sh:sparql: empty WHERE block")
+    if not any("?this" in pat for pat in patterns):
+        raise ValueError("sh:sparql: WHERE must mention $this")
+    return ParsedSelect(sel, star, patterns, filters, p.prefixes)
+
+
+def _is_numeric(node) -> bool:
+    return node[0] == "num" or (node[0] == "call" and node[1] in _NUMERIC_CALLS)
+
+
+def _compile_value(node, numeric: bool) -> Column:
+    kind = node[0]
+    if kind == "var":
+        col = F.col(node[1])
+        return F.expr(f"try_cast(`{node[1]}` AS double)") if numeric else col
+    if kind == "num":
+        return F.lit(float(node[1]) if "." in node[1] else int(node[1]))
+    if kind == "str":
+        return F.lit(node[1])
+    if kind == "call":
+        name, args = node[1], node[2]
+        a0 = _compile_value(args[0], numeric=False)
+        if name == "STRLEN":
+            return F.length(a0).cast("double")
+        if name == "STR":
+            return a0
+        if name == "UCASE":
+            return F.upper(a0)
+        if name == "LCASE":
+            return F.lower(a0)
+        if name == "ABS":
+            return F.abs(_compile_value(args[0], numeric=True))
+    raise ValueError(f"sh:sparql: not a value expression: {node!r}")
+
+
+def compile_filter(node) -> Column:
+    kind = node[0]
+    if kind == "or":
+        return compile_filter(node[1]) | compile_filter(node[2])
+    if kind == "and":
+        return compile_filter(node[1]) & compile_filter(node[2])
+    if kind == "not":
+        return ~compile_filter(node[1])
+    if kind == "cmp":
+        op, left, right = node[1], node[2], node[3]
+        numeric = _is_numeric(left) or _is_numeric(right)
+        lc = _compile_value(left, numeric)
+        rc = _compile_value(right, numeric)
+        return {
+            "=": lc == rc, "!=": lc != rc, "<": lc < rc,
+            "<=": lc <= rc, ">": lc > rc, ">=": lc >= rc,
+        }[op]
+    if kind == "call":
+        from re_shacl_spark.query import term_is_iri, term_is_literal
+
+        name, args = node[1], node[2]
+        if name in ("ISIRI", "ISLITERAL", "BOUND"):
+            if args[0][0] != "var":
+                raise ValueError(f"sh:sparql: {name} needs a variable")
+            var = args[0][1]
+            if name == "ISIRI":
+                return term_is_iri(var)
+            if name == "ISLITERAL":
+                return term_is_literal(var)
+            return F.col(var).isNotNull()
+        a0 = _compile_value(args[0], numeric=False)
+        if name == "REGEX":
+            if args[1][0] != "str":
+                raise ValueError("sh:sparql: REGEX pattern must be a string literal")
+            return a0.rlike(args[1][1])
+        a1 = _compile_value(args[1], numeric=False)
+        if name == "CONTAINS":
+            return a0.contains(a1)
+        if name == "STRSTARTS":
+            return a0.startswith(a1)
+        if name == "STRENDS":
+            return a0.endswith(a1)
+    raise ValueError(f"sh:sparql: not a boolean expression: {node!r}")
+
+
+def evaluate(triples: DataFrame, parsed: ParsedSelect) -> DataFrame:
+    """Run one compiled sh:select against the graph: a single query.bgp plan
+    with the conjoined FILTERs applied while term tags are still present
+    (isIRI/isLiteral read them).  Returns the solution multiset with ``this``
+    always among the columns."""
+    from re_shacl_spark.query import bgp
+
+    where = None
+    for fnode in parsed.filters:
+        c = compile_filter(fnode)
+        where = c if where is None else (where & c)
+    sol = bgp(triples, parsed.patterns, where=where)
+    if not parsed.star:
+        missing = [v for v in parsed.select_vars if v not in sol.columns]
+        if missing:
+            raise ValueError(f"sh:sparql: SELECT vars not bound: {missing}")
+        sol = sol.select(*parsed.select_vars)
+    return sol

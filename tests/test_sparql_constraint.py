@@ -1,0 +1,205 @@
+"""sh:sparql restricted SHACL-SPARQL constraints (validate/sparql.py):
+parser unit tests, engine evaluation, and end-to-end through compile_shapes
+with a triple-quoted sh:select in turtle (SHACL §5; the reference's committed
+shape graphs use no SPARQL constraints — rebuilt-extension surface)."""
+
+from __future__ import annotations
+
+import pytest
+
+from re_shacl_spark.model.triples import iri_triple, lit_triple, triples_df, vocab
+from re_shacl_spark.model.ttl import parse_ttl
+from re_shacl_spark.validate.engine import validate
+from re_shacl_spark.validate.shapes import NodeShape, compile_shapes
+from re_shacl_spark.validate.sparql import (
+    SparqlConstraint,
+    evaluate,
+    parse_select,
+)
+
+EX = "http://x.org/"
+XSD_INT = vocab.XSD + "integer"
+XSD_STR = vocab.XSD + "string"
+
+
+# ---------------------------------------------------------------------------
+# parser
+# ---------------------------------------------------------------------------
+
+def test_parse_select_shapes_and_prefixes():
+    q = parse_select(
+        'PREFIX ex: <http://x.org/>\n'
+        'SELECT $this ?value WHERE {\n'
+        '  $this ex:bal ?value .\n'
+        '  $this a ex:Customer .\n'
+        '  FILTER (?value < 0 && STRLEN(?value) >= 2)\n'
+        '}'
+    )
+    assert q.select_vars == ["this", "value"]
+    assert q.patterns[0] == ("?this", EX + "bal", "?value")
+    assert q.patterns[1] == ("?this", vocab.TYPE, EX + "Customer")
+    assert len(q.filters) == 1 and q.filters[0][0] == "and"
+
+
+def test_parse_select_literal_terms_and_star():
+    from re_shacl_spark.query import Lit
+
+    q = parse_select(
+        'SELECT * WHERE { $this <http://x.org/seg> "BUILDING" . '
+        '$this <http://x.org/n> 42 . }'
+    )
+    assert q.star
+    assert q.patterns[0][2] == Lit("BUILDING")
+    assert q.patterns[1][2] == Lit("42", dtype=XSD_INT)
+
+
+def test_parse_select_undeclared_prefix_passes_through():
+    # compact-IRI graphs (kg: convention): undeclared pnames stay verbatim
+    q = parse_select("SELECT $this WHERE { $this kg:bal ?v . }")
+    assert q.patterns[0][1] == "kg:bal"
+
+
+def test_parse_select_rejects_missing_this_and_empty():
+    with pytest.raises(ValueError, match="mention"):
+        parse_select("SELECT ?v WHERE { ?x <http://p> ?v . }")
+    with pytest.raises(ValueError, match="empty"):
+        parse_select("SELECT $this WHERE { }")
+
+
+# ---------------------------------------------------------------------------
+# evaluation
+# ---------------------------------------------------------------------------
+
+def _graph(spark):
+    rows = [
+        iri_triple(EX + "c1", vocab.TYPE, EX + "Customer"),
+        iri_triple(EX + "c2", vocab.TYPE, EX + "Customer"),
+        iri_triple(EX + "c3", vocab.TYPE, EX + "Customer"),
+        lit_triple(EX + "c1", EX + "bal", "-12", XSD_INT),
+        lit_triple(EX + "c2", EX + "bal", "55", XSD_INT),
+        lit_triple(EX + "c3", EX + "bal", "oops", XSD_STR),
+        lit_triple(EX + "c1", EX + "seg", "MACHINERY", XSD_STR),
+        lit_triple(EX + "c2", EX + "seg", "BUILDING", XSD_STR),
+        iri_triple(EX + "c3", EX + "seg", EX + "nowhere"),  # IRI pun
+    ]
+    return triples_df(spark, rows)
+
+
+def test_evaluate_numeric_filter_drops_type_errors(spark):
+    g = _graph(spark)
+    q = parse_select(
+        "PREFIX ex: <http://x.org/> "
+        "SELECT $this ?value WHERE { $this ex:bal ?value . FILTER (?value < 0) }"
+    )
+    got = {(r.this, r.value) for r in evaluate(g, q).collect()}
+    # 'oops' does not cast → SPARQL type error eliminates the row, no raise
+    assert got == {(EX + "c1", "-12")}
+
+
+def test_evaluate_string_and_term_predicates(spark):
+    g = _graph(spark)
+    q = parse_select(
+        "PREFIX ex: <http://x.org/> "
+        "SELECT $this WHERE { $this ex:seg ?s . "
+        'FILTER (ISLITERAL(?s) && STRSTARTS(?s, "B") && ?s != "X") }'
+    )
+    assert {r.this for r in evaluate(g, q).collect()} == {EX + "c2"}
+    q2 = parse_select(
+        "PREFIX ex: <http://x.org/> "
+        "SELECT $this WHERE { $this ex:seg ?s . FILTER (ISIRI(?s)) }"
+    )
+    assert {r.this for r in evaluate(g, q2).collect()} == {EX + "c3"}
+
+
+# ---------------------------------------------------------------------------
+# engine integration
+# ---------------------------------------------------------------------------
+
+def test_validate_sparql_only_shape(spark):
+    """A shape with ONLY sh:sparql (no core grid) still validates: the
+    pc_rows-empty fast path evaluates the SPARQL block against the targets."""
+    g = _graph(spark)
+    sc = SparqlConstraint(
+        select="PREFIX ex: <http://x.org/> SELECT $this ?value "
+               "WHERE { $this ex:bal ?value . FILTER (?value < 0) }",
+        message="negative balance",
+    )
+    shapes = [NodeShape("S", target_classes=[EX + "Customer"],
+                        sparql_constraints=[sc])]
+    rep = validate(spark, g, shapes)
+    got = {(r.focus, r.constraint, r.value) for r in rep.violations.collect()}
+    assert got == {(EX + "c1", "sparql", "-12")}
+    assert not rep.conforms
+
+    det = validate(spark, g, shapes, with_details=True).violations.collect()
+    assert det[0].message == "negative balance"
+    assert det[0].severity == vocab.SH + "Violation"
+
+
+def test_validate_sparql_scopes_to_targets(spark):
+    """$this pre-binding: solutions outside the shape's target set are not
+    violations (c9 has a negative bal but is not a Customer)."""
+    rows = [
+        iri_triple(EX + "c1", vocab.TYPE, EX + "Customer"),
+        lit_triple(EX + "c1", EX + "bal", "-5", XSD_INT),
+        lit_triple(EX + "c9", EX + "bal", "-7", XSD_INT),
+    ]
+    g = triples_df(spark, rows)
+    sc = SparqlConstraint(
+        select="PREFIX ex: <http://x.org/> SELECT $this ?value "
+               "WHERE { $this ex:bal ?value . FILTER (?value < 0) }",
+    )
+    shapes = [NodeShape("S", target_classes=[EX + "Customer"],
+                        sparql_constraints=[sc])]
+    got = {r.focus for r in validate(spark, g, shapes).violations.collect()}
+    assert got == {EX + "c1"}
+
+
+def test_validate_sparql_alongside_core_constraints(spark):
+    """sh:sparql rides the extras union next to the core grid."""
+    from re_shacl_spark.validate.shapes import PropertyConstraint
+
+    g = _graph(spark)
+    sc = SparqlConstraint(
+        select="PREFIX ex: <http://x.org/> SELECT $this WHERE "
+               '{ $this ex:seg ?s . FILTER (ISIRI(?s)) }',
+    )
+    shapes = [NodeShape("S", target_classes=[EX + "Customer"],
+                        properties=[PropertyConstraint(path=EX + "bal", min_count=1)],
+                        sparql_constraints=[sc])]
+    got = {(r.focus, r.constraint) for r in validate(spark, g, shapes).violations.collect()}
+    assert got == {(EX + "c3", "sparql")}  # all three have bal; c3 trips sparql
+
+
+def test_compile_shapes_sparql_from_ttl(spark):
+    """End-to-end: triple-quoted sh:select + sh:declare prefixes through the
+    turtle parser and shapes compiler."""
+    ttl = '''
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://x.org/> .
+
+ex:S a sh:NodeShape ;
+  sh:targetClass ex:Customer ;
+  sh:sparql [
+    sh:message "negative balance" ;
+    sh:prefixes ex: ;
+    sh:select """
+      SELECT $this ?value
+      WHERE {
+        $this ex:bal ?value .
+        FILTER (?value < 0)
+      }
+    """ ;
+  ] .
+
+ex: sh:declare [ sh:prefix "ex" ; sh:namespace "http://x.org/" ] .
+'''
+    shapes = compile_shapes(parse_ttl(ttl))
+    assert len(shapes) == 1 and len(shapes[0].sparql_constraints) == 1
+    sc = shapes[0].sparql_constraints[0]
+    assert sc.message == "negative balance"
+    assert sc.prefixes == {"ex": "http://x.org/"}
+
+    g = _graph(spark)
+    got = {(r.focus, r.value) for r in validate(spark, g, shapes).violations.collect()}
+    assert got == {(EX + "c1", "-12")}
