@@ -281,27 +281,36 @@ def _is_numeric(node) -> bool:
 
 
 def _compile_value(node, numeric: bool) -> Column:
+    # Under a numeric comparison, EVERY string-producing operand goes through
+    # try_cast(double) — not just variables.  A numeric-vs-string-constant
+    # comparison ('0 = "x"') would otherwise let Spark insert an ANSI string→
+    # number cast that THROWS at runtime; SPARQL wants a type error that
+    # silently eliminates the row (found by the hypothesis fuzz).
     kind = node[0]
     if kind == "var":
         col = F.col(node[1])
-        return F.expr(f"try_cast(`{node[1]}` AS double)") if numeric else col
+        return col.try_cast("double") if numeric else col
     if kind == "num":
         return F.lit(float(node[1]) if "." in node[1] else int(node[1]))
     if kind == "str":
-        return F.lit(node[1])
+        lit = F.lit(node[1])
+        return lit.try_cast("double") if numeric else lit
     if kind == "call":
         name, args = node[1], node[2]
-        a0 = _compile_value(args[0], numeric=False)
         if name == "STRLEN":
-            return F.length(a0).cast("double")
-        if name == "STR":
-            return a0
-        if name == "UCASE":
-            return F.upper(a0)
-        if name == "LCASE":
-            return F.lower(a0)
+            return F.length(_compile_value(args[0], numeric=False)).cast("double")
         if name == "ABS":
             return F.abs(_compile_value(args[0], numeric=True))
+        a0 = _compile_value(args[0], numeric=False)
+        if name == "STR":
+            out = a0
+        elif name == "UCASE":
+            out = F.upper(a0)
+        elif name == "LCASE":
+            out = F.lower(a0)
+        else:
+            raise ValueError(f"sh:sparql: not a value expression: {node!r}")
+        return out.try_cast("double") if numeric else out
     raise ValueError(f"sh:sparql: not a value expression: {node!r}")
 
 
