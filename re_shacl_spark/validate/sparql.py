@@ -14,7 +14,12 @@ full parser:
 
     (PREFIX pn: <iri>)*
     SELECT ($this | ?var)+  |  SELECT *
-    WHERE { t1 . t2 . FILTER ( expr ) ... }
+    WHERE { t1 . t2 . OPTIONAL { t3 . } FILTER ( expr ) ... }
+
+OPTIONAL blocks left-join their patterns onto the required solution (each
+must share a variable with it); FILTERs scope over the WHOLE group — they
+apply after the OPTIONAL joins, so ``BOUND(?x)`` / ``!BOUND(?x)`` on an
+OPTIONAL variable expresses SPARQL's negation-as-failure idiom.
 
 Triple-pattern terms: ``$this`` / ``?var``, ``<iri>``, prefixed names,
 ``a``, string literals (``"s"``, ``"s"@lang``, ``"s"^^<dt>``,
@@ -69,6 +74,7 @@ class ParsedSelect:
     patterns: list[tuple]           # query.bgp pattern terms
     filters: list                   # expr ASTs (conjoined)
     prefixes: dict[str, str]
+    optionals: list[tuple] = field(default_factory=list)  # OPTIONAL patterns
 
 
 _TOK = re.compile(
@@ -257,13 +263,26 @@ def parse_select(text: str, prefixes: dict[str, str] | None = None) -> ParsedSel
             raise ValueError("sh:sparql: SELECT needs $this/?vars or *")
     p.expect("word", "WHERE")
     p.expect("op", "{")
-    patterns, filters = [], []
+    patterns, filters, optionals = [], [], []
     while p.peek() != ("op", "}"):
-        if p.peek()[0] == "word" and p.peek()[1].upper() == "FILTER":
+        head = p.peek()
+        if head[0] == "word" and head[1].upper() == "FILTER":
             p.next()
             p.expect("op", "(")
             filters.append(p.expr())
             p.expect("op", ")")
+        elif head[0] == "word" and head[1].upper() == "OPTIONAL":
+            # OPTIONAL { single-pattern blocks } — each pattern left-joins
+            # the required solution (query.bgp `optional=`); a block here is
+            # a list of patterns that each must share a variable with the
+            # required part (bgp enforces it)
+            p.next()
+            p.expect("op", "{")
+            while p.peek() != ("op", "}"):
+                optionals.append((p.term(), p.term(), p.term()))
+                if p.peek() == ("op", "."):
+                    p.next()
+            p.expect("op", "}")
         else:
             patterns.append((p.term(), p.term(), p.term()))
         if p.peek() == ("op", "."):
@@ -273,7 +292,7 @@ def parse_select(text: str, prefixes: dict[str, str] | None = None) -> ParsedSel
         raise ValueError("sh:sparql: empty WHERE block")
     if not any("?this" in pat for pat in patterns):
         raise ValueError("sh:sparql: WHERE must mention $this")
-    return ParsedSelect(sel, star, patterns, filters, p.prefixes)
+    return ParsedSelect(sel, star, patterns, filters, p.prefixes, optionals)
 
 
 def _is_numeric(node) -> bool:
@@ -360,17 +379,24 @@ def compile_filter(node) -> Column:
 
 
 def evaluate(triples: DataFrame, parsed: ParsedSelect) -> DataFrame:
-    """Run one compiled sh:select against the graph: a single query.bgp plan
-    with the conjoined FILTERs applied while term tags are still present
-    (isIRI/isLiteral read them).  Returns the solution multiset with ``this``
-    always among the columns."""
-    from re_shacl_spark.query import bgp
+    """Run one compiled sh:select against the graph: a single query.bgp plan.
+    FILTERs apply AFTER the OPTIONAL left-joins (SPARQL §8: a group's filters
+    scope over the whole group, so BOUND(?x) on an OPTIONAL variable works)
+    and while term tags are still present (isIRI/isLiteral read them).
+    Returns the solution multiset with ``this`` always among the columns."""
+    from re_shacl_spark.query import _TAG, bgp
 
     where = None
     for fnode in parsed.filters:
         c = compile_filter(fnode)
         where = c if where is None else (where & c)
-    sol = bgp(triples, parsed.patterns, where=where)
+    sol = bgp(
+        triples, parsed.patterns, optional=parsed.optionals or None,
+        _keep_tags=True,
+    )
+    if where is not None:
+        sol = sol.filter(where)
+    sol = sol.drop(*[c for c in sol.columns if c.endswith(_TAG)])
     if not parsed.star:
         missing = [v for v in parsed.select_vars if v not in sol.columns]
         if missing:

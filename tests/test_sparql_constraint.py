@@ -203,3 +203,32 @@ ex: sh:declare [ sh:prefix "ex" ; sh:namespace "http://x.org/" ] .
     g = _graph(spark)
     got = {(r.focus, r.value) for r in validate(spark, g, shapes).violations.collect()}
     assert got == {(EX + "c1", "-12")}
+
+
+def test_evaluate_optional_and_bound(spark):
+    """OPTIONAL left-join + FILTER(!BOUND(...)) — SPARQL's negation-as-
+    failure idiom; the filter scopes over the whole group (applies AFTER the
+    OPTIONAL join)."""
+    rows = [
+        iri_triple(EX + "c1", vocab.TYPE, EX + "Customer"),
+        iri_triple(EX + "c2", vocab.TYPE, EX + "Customer"),
+        lit_triple(EX + "c1", EX + "bal", "5", XSD_INT),
+        lit_triple(EX + "c2", EX + "bal", "9", XSD_INT),
+        iri_triple(EX + "c1", EX + "vip", EX + "Gold"),
+    ]
+    g = triples_df(spark, rows)
+    q = parse_select(
+        "PREFIX ex: <http://x.org/> SELECT $this WHERE { "
+        "$this ex:bal ?b . OPTIONAL { $this ex:vip ?f . } "
+        "FILTER (!BOUND(?f)) }"
+    )
+    assert q.optionals == [("?this", EX + "vip", "?f")]
+    assert {r.this for r in evaluate(g, q).collect()} == {EX + "c2"}
+
+    q2 = parse_select(
+        "PREFIX ex: <http://x.org/> SELECT $this ?f WHERE { "
+        "$this ex:bal ?b . OPTIONAL { $this ex:vip ?f . } "
+        "FILTER (BOUND(?f)) }"
+    )
+    got = {(r.this, r.f) for r in evaluate(g, q2).collect()}
+    assert got == {(EX + "c1", EX + "Gold")}
