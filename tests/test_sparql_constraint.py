@@ -232,3 +232,37 @@ def test_evaluate_optional_and_bound(spark):
     )
     got = {(r.this, r.f) for r in evaluate(g, q2).collect()}
     assert got == {(EX + "c1", EX + "Gold")}
+
+
+def test_validate_delta_sparql_falls_back_to_full(spark):
+    """Incremental validation has no local affected set for sh:sparql (a
+    delta edge can flip a solution whose focus the reverse-path widening
+    can't see) — it must fall back to full validation and stay row-for-row
+    equal to validate(base ∪ delta)."""
+    from re_shacl_spark.validate.incremental import validate_delta
+
+    base = triples_df(spark, [
+        iri_triple(EX + "c1", vocab.TYPE, EX + "Customer"),
+        iri_triple(EX + "c2", vocab.TYPE, EX + "Customer"),
+        lit_triple(EX + "c1", EX + "bal", "-4", XSD_INT),
+        lit_triple(EX + "c2", EX + "bal", "8", XSD_INT),
+    ])
+    # delta adds the SECOND pattern's edge for c2 — c2's verdict flips even
+    # though c2 itself is not a delta subject of the constrained path alone
+    delta = triples_df(spark, [
+        iri_triple(EX + "c2", EX + "flag", EX + "Risk"),
+        lit_triple(EX + "c2", EX + "bal", "-9", XSD_INT),
+    ])
+    sc = SparqlConstraint(
+        select="PREFIX ex: <http://x.org/> SELECT $this ?value WHERE { "
+               "$this ex:bal ?value . $this ex:flag ex:Risk . "
+               "FILTER (?value < 0) }",
+    )
+    shapes = [NodeShape("S", target_classes=[EX + "Customer"],
+                        sparql_constraints=[sc])]
+    base_rep = validate(spark, base, shapes)
+    inc = validate_delta(spark, base, delta, shapes, base_rep)
+    want = {(r.focus, r.constraint, r.value)
+            for r in validate(spark, base.unionByName(delta), shapes).violations.collect()}
+    got = {(r.focus, r.constraint, r.value) for r in inc.violations.collect()}
+    assert got == want == {(EX + "c2", "sparql", "-9")}
