@@ -2697,6 +2697,86 @@ QUERIES["v_sparql_constraint"] = q_v_sparql_constraint
 ORACLES["v_sparql_constraint"] = SQL_V_SPARQL
 
 
+def q_v_sparql_target(spark, sf_dir):
+    """SHACL-AF custom SPARQL target (sh:target/sh:select,
+    validate/sparql.py + engine._targets): the target query's ?this
+    solutions ARE the focus set — one distributed bgp plan per target, no
+    targetClass.  BUILDING-segment customers must carry ≥1 kg:vip edge
+    (only every 5th does)."""
+    from re_shacl_spark.model.ttl import parse_ttl
+    from re_shacl_spark.validate.shapes import compile_shapes
+
+    cust = _read(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    seg = _lit_rows(cust, _iri("c:", k), "kg:seg", F.col("c_mktsegment"),
+                    F.lit(XSD_STRING))
+    vip = _rows(cust.filter(k % 5 == 0), _iri("c:", k), "kg:vip", F.lit("kg:Gold"))
+    t = seg.unionByName(vip)
+    ttl = '''
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix kg: <kg:> .
+kg:BuildingShape a sh:NodeShape ;
+  sh:target [ sh:select """SELECT ?this WHERE { ?this kg:seg "BUILDING" . }""" ] ;
+  sh:property [ sh:path kg:vip ; sh:minCount 1 ] .
+'''
+    return validate(spark, t, compile_shapes(parse_ttl(ttl))).violations
+
+
+SQL_V_SPARQL_TARGET = """SELECT 'c:'||c_custkey::varchar AS focus,
+'kg:BuildingShape' AS shape, 'kg:vip' AS path, 'minCount' AS "constraint",
+'0' AS value
+FROM customer WHERE c_mktsegment = 'BUILDING' AND c_custkey % 5 != 0"""
+
+
+QUERIES["v_sparql_target"] = q_v_sparql_target
+ORACLES["v_sparql_target"] = SQL_V_SPARQL_TARGET
+
+
+def q_kg_shacl_rules(spark, sf_dir):
+    """SHACL-AF sh:rule/sh:construct inference (validate/sparql.apply_rules):
+    a SPARQLRule on kg:Customer derives each customer's region through its
+    nation (two-pattern join, template fan-out is column-select-only);
+    fixpoint loop converges round 2 (round 1 derives, round 2 proves empty).
+    Output: the derived kg:inRegion edges."""
+    from re_shacl_spark.model.ttl import parse_ttl
+    from re_shacl_spark.validate.shapes import compile_shapes
+    from re_shacl_spark.validate.sparql import apply_rules
+
+    cust = _read(spark, sf_dir, "customer")
+    nat = _read(spark, sf_dir, "nation")
+    k = F.col("c_custkey")
+    t = (
+        _cust_targets(spark, sf_dir)
+        .unionByName(_rows(cust, _iri("c:", k), "kg:inNation",
+                           _iri("n:", F.col("c_nationkey"))))
+        .unionByName(_rows(nat, _iri("n:", F.col("n_nationkey")), "kg:inRegion",
+                           _iri("r:", F.col("n_regionkey"))))
+    )
+    ttl = '''
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix kg: <kg:> .
+kg:CustRegionShape a sh:NodeShape ;
+  sh:targetClass kg:Customer ;
+  sh:rule [ a sh:SPARQLRule ; sh:construct """
+    CONSTRUCT { $this kg:inRegion ?r }
+    WHERE { $this kg:inNation ?n . ?n kg:inRegion ?r }
+  """ ] .
+'''
+    out = apply_rules(spark, t, compile_shapes(parse_ttl(ttl)))
+    return out.filter(
+        (F.col("p") == "kg:inRegion") & F.col("s").startswith("c:")
+    ).select("s", "p", "o")
+
+
+SQL_KG_SHACL_RULES = """SELECT 'c:'||c_custkey::varchar AS s,
+'kg:inRegion' AS p, 'r:'||n_regionkey::varchar AS o
+FROM customer JOIN nation ON c_nationkey = n_nationkey"""
+
+
+QUERIES["kg_shacl_rules"] = q_kg_shacl_rules
+ORACLES["kg_shacl_rules"] = SQL_KG_SHACL_RULES
+
+
 
 # ---------------------------------------------------------------------------
 # SHACL round-3 constraint kinds: logical combinators (sh:and / sh:xone),
@@ -4584,6 +4664,8 @@ _EVIDENCE_PRIORITY = [
     "bgp_hash_funcs",
     "text_tfidf",
     "v_sparql_constraint",
+    "v_sparql_target",
+    "kg_shacl_rules",
     # BGP family: join machinery changed in r4, last driver-checked on r3 code
     "bgp_star_join",
     "bgp_optional",

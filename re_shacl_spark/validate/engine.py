@@ -192,6 +192,19 @@ def _targets(
             out = out.unionByName(
                 triples.join(pm, "p").select("shape_id", F.col(col).alias("focus"))
             )
+    # SHACL-AF custom targets: each sh:target/sh:select runs as one
+    # distributed bgp plan; its ?this solutions ARE the focus set
+    for ns in shapes:
+        for tgt in getattr(ns, "sparql_targets", []):
+            from re_shacl_spark.validate.sparql import evaluate, parse_select
+
+            sol = evaluate(triples, parse_select(tgt.select, tgt.prefixes))
+            out = out.unionByName(
+                sol.select(
+                    F.lit(ns.shape_id).alias("shape_id"),
+                    F.col("this").alias("focus"),
+                )
+            )
     return out.distinct()
 
 
@@ -286,6 +299,7 @@ def validate(
     _extra_focus: dict[str, DataFrame] | None = None,
     _focus_subset: DataFrame | None = None,
 ) -> ValidationReport:
+    global _LAST_PLAN_FRAME
     shapes = [s for s in shapes if not s.deactivated]  # sh:deactivated true
     pc_rows = _pc_rows(shapes)
     if not pc_rows:
@@ -300,6 +314,7 @@ def validate(
         targets = _targets(spark, triples, shapes, tbox)
         sv = _sparql_violations(spark, triples, targets, shapes, with_details)
         violations = empty.unionByName(sv) if sv is not None else empty
+        _LAST_PLAN_FRAME = violations
         violations = violations.localCheckpoint(eager=True)
         return ValidationReport(violations, violations.isEmpty(), len(shapes))
     pcs = F.broadcast(spark.createDataFrame(pc_rows, _PC_SCHEMA))
@@ -528,7 +543,7 @@ def validate(
             violations = violations.unionByName(extra)
     # the checkpoint makes the returned frame's plan opaque; keep the logical
     # frame around so scripts/plan_audit.py can audit the REAL dataflow
-    global _LAST_PLAN_FRAME
+    # (global declared at function top — the sparql-only fast path sets it too)
     _LAST_PLAN_FRAME = violations
     violations = violations.localCheckpoint(eager=True)
     return ValidationReport(violations, violations.isEmpty(), len(shapes))

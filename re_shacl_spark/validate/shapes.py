@@ -116,6 +116,10 @@ class NodeShape:
     # sh:sparql SPARQL-based constraints (SHACL §5) — restricted SELECT
     # fragment, compiled and evaluated by validate/sparql.py
     sparql_constraints: list = field(default_factory=list)
+    # SHACL-AF: custom SPARQL targets (sh:target [sh:select "SELECT ?this…"])
+    # and inference rules (sh:rule [a sh:SPARQLRule; sh:construct "…"])
+    sparql_targets: list = field(default_factory=list)
+    rules: list = field(default_factory=list)
 
 
 def _collect_list(pox: dict, head: str) -> list[str]:
@@ -315,16 +319,33 @@ def compile_shapes(shape_triples: list[tuple]) -> list[NodeShape]:
         if self_pc.has_value_constraints():
             ns.self_constraint = self_pc
         # sh:sparql blocks: [ sh:select """…""" ; sh:message "…" ]
+        from re_shacl_spark.validate.sparql import SparqlConstraint
+
         for snode in po.get(SH + "sparql", []):
             sp = pox.get(snode, {})
             sel = sp.get(SH + "select")
             if sel:
-                from re_shacl_spark.validate.sparql import SparqlConstraint
-
                 ns.sparql_constraints.append(SparqlConstraint(
                     select=sel[0],
                     message=(sp.get(SH + "message") or [None])[0],
                     prefixes=dict(declared_prefixes),
+                ))
+        # SHACL-AF custom targets: sh:target [ sh:select "SELECT ?this …" ]
+        # (plain-IRI sh:target objects without sh:select are ignored — the
+        # instances-of-target-class indirection is out of fragment scope)
+        for tnode in po.get(SH + "target", []):
+            sel = pox.get(tnode, {}).get(SH + "select")
+            if sel:
+                ns.sparql_targets.append(SparqlConstraint(
+                    select=sel[0], prefixes=dict(declared_prefixes),
+                ))
+        # SHACL-AF rules: sh:rule [ a sh:SPARQLRule ; sh:construct """…""" ]
+        for rnode in po.get(SH + "rule", []):
+            rp = pox.get(rnode, {})
+            con = rp.get(SH + "construct")
+            if con and not (rp.get(SH + "deactivated", ["false"])[0] in ("true", "1")):
+                ns.rules.append(SparqlConstraint(
+                    select=con[0], prefixes=dict(declared_prefixes),
                 ))
         shapes.append(ns)
     # a sh:qualifiedValueShape naming a DECLARED NodeShape resolves membership

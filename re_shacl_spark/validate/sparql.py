@@ -378,6 +378,73 @@ def compile_filter(node) -> Column:
     raise ValueError(f"sh:sparql: not a boolean expression: {node!r}")
 
 
+@dataclass
+class ParsedConstruct:
+    """CONSTRUCT { template } WHERE { … } in the same restricted fragment."""
+
+    template: list[tuple]
+    patterns: list[tuple]
+    filters: list
+    prefixes: dict[str, str]
+    optionals: list[tuple] = field(default_factory=list)
+
+
+def parse_construct(text: str, prefixes: dict[str, str] | None = None) -> ParsedConstruct:
+    """Parse a SHACL-AF sh:construct rule body (SHACL-AF §8 SPARQLRule):
+    CONSTRUCT { t … } WHERE { t … FILTER(…) OPTIONAL{…} } over the same
+    restricted grammar as parse_select; $this in the template mints per-focus
+    triples.  PREFIX declarations and sh:declare'd prefixes both apply."""
+    p = _P(_tokens(text), prefixes or {})
+    while p.peek()[0] == "word" and p.peek()[1].upper() == "PREFIX":
+        p.next()
+        pk, pv = p.next()
+        if pk != "pname" or not pv.endswith(":"):
+            raise ValueError(f"sh:sparql: bad PREFIX name {pv!r}")
+        iri = p.expect("iri")
+        p.prefixes[pv[:-1]] = iri[1:-1]
+    p.expect("word", "CONSTRUCT")
+    p.expect("op", "{")
+    template = []
+    while p.peek() != ("op", "}"):
+        template.append((p.term(), p.term(), p.term()))
+        if p.peek() == ("op", "."):
+            p.next()
+    p.expect("op", "}")
+    if not template:
+        raise ValueError("sh:construct: empty template")
+    # reuse the SELECT body parser for the WHERE group
+    body = ParsedSelect([], True, [], [], p.prefixes)
+    p.expect("word", "WHERE")
+    p.expect("op", "{")
+    while p.peek() != ("op", "}"):
+        head = p.peek()
+        if head[0] == "word" and head[1].upper() == "FILTER":
+            p.next()
+            p.expect("op", "(")
+            body.filters.append(p.expr())
+            p.expect("op", ")")
+        elif head[0] == "word" and head[1].upper() == "OPTIONAL":
+            p.next()
+            p.expect("op", "{")
+            while p.peek() != ("op", "}"):
+                body.optionals.append((p.term(), p.term(), p.term()))
+                if p.peek() == ("op", "."):
+                    p.next()
+            p.expect("op", "}")
+        else:
+            body.patterns.append((p.term(), p.term(), p.term()))
+        if p.peek() == ("op", "."):
+            p.next()
+    p.expect("op", "}")
+    if not body.patterns:
+        raise ValueError("sh:construct: empty WHERE block")
+    if not any("?this" in pat for pat in body.patterns):
+        raise ValueError("sh:construct: WHERE must mention $this")
+    return ParsedConstruct(
+        template, body.patterns, body.filters, p.prefixes, body.optionals
+    )
+
+
 def evaluate(triples: DataFrame, parsed: ParsedSelect) -> DataFrame:
     """Run one compiled sh:select against the graph: a single query.bgp plan.
     FILTERs apply AFTER the OPTIONAL left-joins (SPARQL §8: a group's filters
@@ -403,3 +470,78 @@ def evaluate(triples: DataFrame, parsed: ParsedSelect) -> DataFrame:
             raise ValueError(f"sh:sparql: SELECT vars not bound: {missing}")
         sol = sol.select(*parsed.select_vars)
     return sol
+
+
+def apply_rules(
+    spark,
+    triples: DataFrame,
+    shapes,
+    tbox=None,
+    max_rounds: int = 32,
+) -> DataFrame:
+    """SHACL-AF §8 SPARQLRule inference: apply every shape's sh:construct
+    rule to its target focus nodes, add the minted triples to the graph, and
+    iterate to fixpoint (a rule may entail new targets or new matches for
+    another rule — rdfs-style chains converge in dependency depth).
+
+    Plan shape per round: targets re-derive (broadcast class-map joins), each
+    rule runs as ONE bgp plan joined against its shape's target set on
+    ``this`` ($this pre-binding, SHACL-AF §5), the template fan-out is
+    column-select-only (query._instantiate, meta — literal objects keep full
+    term identity), and novelty is a hash anti-join on (s, p, o, term-tag)
+    against the accumulated graph.  Per-round localCheckpoint keeps lineage
+    O(1), same as pipeline.fuse.  sh:order/sh:condition are not implemented
+    (documented restriction — rounds apply all rules simultaneously, which
+    subsumes ordering for monotone rule sets); ``max_rounds`` bounds cyclic
+    rule graphs and raises on non-convergence rather than silently stopping.
+    """
+    from re_shacl_spark.query import _instantiate, _term_tag, bgp
+    from re_shacl_spark.validate.engine import _targets
+
+    rules = [
+        (ns, parse_construct(r.select, r.prefixes))
+        for ns in shapes
+        for r in getattr(ns, "rules", [])
+    ]
+    if not rules:
+        return triples
+    cur = triples
+    for _ in range(max_rounds):
+        targets = _targets(spark, cur, shapes, tbox)
+        parts = []
+        for ns, pc in rules:
+            where = None
+            for fn in pc.filters:
+                c = compile_filter(fn)
+                where = c if where is None else (where & c)
+            bound = bgp(cur, pc.patterns, optional=pc.optionals or None,
+                        _keep_tags=True)
+            if where is not None:
+                bound = bound.filter(where)
+            foc = (
+                targets.filter(F.col("shape_id") == ns.shape_id)
+                .select(F.col("focus").alias("this")).distinct()
+            )
+            bound = bound.join(foc, "this")
+            inst = _instantiate(bound, pc.template, meta=True)
+            parts.append(inst.select("s", "p", "o", "_otag", "is_lit", "o_lit"))
+        new = parts[0]
+        for x in parts[1:]:
+            new = new.unionByName(x)
+        new = new.dropDuplicates(["s", "p", "o", "_otag"])
+        cur_keyed = cur.select(
+            "s", "p", "o",
+            _term_tag(F.col("is_lit"), F.col("o_lit")).alias("_otag"),
+        )
+        fresh = new.join(cur_keyed, ["s", "p", "o", "_otag"], "left_anti")
+        if fresh.isEmpty():
+            return cur
+        cur = cur.unionByName(
+            fresh.select(
+                "s", "p", "o", "o_lit", "is_lit",
+                F.lit(None).cast("string").alias("src_url"),
+            )
+        ).localCheckpoint(eager=True)
+    raise RuntimeError(
+        f"sh:rule fixpoint did not converge in {max_rounds} rounds"
+    )

@@ -112,6 +112,14 @@ AUDITED = [
     "bgp_graph_comention",
     "kg_graph_mgmt",
     "kg_dataset_from",
+    # round 5 (session 2): the hash/constructor builtins are scan-stage
+    # column algebra on one pattern scan; tf-idf is two keyed aggs + an
+    # equi-join-back + a bounded per-doc window (no global sort); the
+    # sh:sparql constraint is a pattern equi-join tree + a target-set join
+    # (never a per-focus loop, no NLJ)
+    "bgp_hash_funcs",
+    "text_tfidf",
+    "v_sparql_constraint",
 ]
 
 # queries whose plans must contain NO nested-loop/cartesian join
@@ -130,6 +138,7 @@ NO_NESTED_LOOP = {
     "kg_pagerank", "corpus_dup_spans", "bgp_term_funcs", "text_lm_score",
     "bgp_subselect", "kg_update_delete_insert", "bgp_graph_comention",
     "kg_graph_mgmt", "kg_dataset_from",
+    "bgp_hash_funcs", "text_tfidf", "v_sparql_constraint",
 }
 
 

@@ -266,3 +266,130 @@ def test_validate_delta_sparql_falls_back_to_full(spark):
             for r in validate(spark, base.unionByName(delta), shapes).violations.collect()}
     got = {(r.focus, r.constraint, r.value) for r in inc.violations.collect()}
     assert got == want == {(EX + "c2", "sparql", "-9")}
+
+
+# ---------------------------------------------------------------------------
+# SHACL-AF: custom SPARQL targets + SPARQLRule inference
+# ---------------------------------------------------------------------------
+
+def test_sparql_custom_target(spark):
+    """sh:target [sh:select …]: the query's ?this solutions ARE the focus
+    set — no targetClass involved."""
+    from re_shacl_spark.validate.shapes import PropertyConstraint
+
+    rows = [
+        lit_triple(EX + "c1", EX + "seg", "BUILDING", XSD_STR),
+        lit_triple(EX + "c2", EX + "seg", "MACHINERY", XSD_STR),
+        lit_triple(EX + "c3", EX + "seg", "BUILDING", XSD_STR),
+        iri_triple(EX + "c1", EX + "vip", EX + "Gold"),
+    ]
+    g = triples_df(spark, rows)
+    tgt = SparqlConstraint(
+        select='PREFIX ex: <http://x.org/> SELECT ?this WHERE '
+               '{ ?this ex:seg "BUILDING" . }',
+    )
+    shapes = [NodeShape("S", sparql_targets=[tgt],
+                        properties=[PropertyConstraint(path=EX + "vip", min_count=1)])]
+    got = {(r.focus, r.constraint) for r in validate(spark, g, shapes).violations.collect()}
+    assert got == {(EX + "c3", "minCount")}  # c2 not targeted; c1 conforms
+
+
+def test_apply_rules_single_round(spark):
+    """sh:rule/sh:construct: derived triples minted from each focus binding."""
+    from re_shacl_spark.validate.sparql import apply_rules, parse_construct
+
+    rows = [
+        iri_triple(EX + "c1", vocab.TYPE, EX + "Customer"),
+        iri_triple(EX + "c1", EX + "inNation", EX + "n1"),
+        iri_triple(EX + "n1", EX + "inRegion", EX + "r1"),
+    ]
+    g = triples_df(spark, rows)
+    rule = SparqlConstraint(
+        select="PREFIX ex: <http://x.org/> CONSTRUCT { $this ex:inRegion ?r } "
+               "WHERE { $this ex:inNation ?n . ?n ex:inRegion ?r }",
+    )
+    pc = parse_construct(rule.select)
+    assert pc.template == [("?this", EX + "inRegion", "?r")]
+    shapes = [NodeShape("S", target_classes=[EX + "Customer"], rules=[rule])]
+    out = apply_rules(spark, g, shapes)
+    derived = {(r.s, r.p, r.o) for r in out.collect()} - {
+        (r[0], r[1], r[2]) for r in rows
+    }
+    assert derived == {(EX + "c1", EX + "inRegion", EX + "r1")}
+
+
+def test_apply_rules_fixpoint_chain(spark):
+    """A rule whose output feeds its own next match (ancestor-style chain)
+    converges in depth rounds, not one."""
+    from re_shacl_spark.validate.sparql import apply_rules
+
+    rows = [
+        iri_triple(EX + "a", vocab.TYPE, EX + "Node"),
+        iri_triple(EX + "b", vocab.TYPE, EX + "Node"),
+        iri_triple(EX + "c", vocab.TYPE, EX + "Node"),
+        iri_triple(EX + "a", EX + "next", EX + "b"),
+        iri_triple(EX + "b", EX + "next", EX + "c"),
+        iri_triple(EX + "c", EX + "next", EX + "d"),
+    ]
+    g = triples_df(spark, rows)
+    rule = SparqlConstraint(
+        select="PREFIX ex: <http://x.org/> CONSTRUCT { $this ex:reach ?z } "
+               "WHERE { $this ex:next ?z }",
+    )
+    rule2 = SparqlConstraint(
+        select="PREFIX ex: <http://x.org/> CONSTRUCT { $this ex:reach ?z } "
+               "WHERE { $this ex:reach ?y . ?y ex:reach ?z }",
+    )
+    shapes = [NodeShape("S", target_classes=[EX + "Node"], rules=[rule, rule2])]
+    out = apply_rules(spark, g, shapes)
+    reach = {(r.s, r.o) for r in out.filter("p = '" + EX + "reach'").collect()}
+    assert reach == {
+        (EX + "a", EX + "b"), (EX + "a", EX + "c"), (EX + "a", EX + "d"),
+        (EX + "b", EX + "c"), (EX + "b", EX + "d"),
+        (EX + "c", EX + "d"),
+    }
+
+
+def test_apply_rules_literal_template(spark):
+    """Lit template constants mint exact literals with full term identity."""
+    from re_shacl_spark.validate.sparql import apply_rules
+
+    rows = [
+        iri_triple(EX + "c1", vocab.TYPE, EX + "Customer"),
+        lit_triple(EX + "c1", EX + "bal", "-4", XSD_INT),
+    ]
+    g = triples_df(spark, rows)
+    rule = SparqlConstraint(
+        select='PREFIX ex: <http://x.org/> '
+               'CONSTRUCT { $this ex:risk "high" } '
+               'WHERE { $this ex:bal ?v . FILTER (?v < 0) }',
+    )
+    shapes = [NodeShape("S", target_classes=[EX + "Customer"], rules=[rule])]
+    out = apply_rules(spark, g, shapes)
+    new = out.filter("p = '" + EX + "risk'").collect()
+    assert len(new) == 1
+    r = new[0]
+    assert (r.s, r.o, r.is_lit) == (EX + "c1", "high", True)
+    assert r.o_lit.dtype == vocab.XSD + "string"
+    # idempotent: re-application converges round 1 with no duplicates
+    again = apply_rules(spark, out, shapes)
+    assert again.count() == out.count()
+
+
+def test_compile_shapes_af_from_ttl(spark):
+    """sh:target + sh:rule parsed from turtle."""
+    ttl = '''
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://x.org/> .
+
+ex:S a sh:NodeShape ;
+  sh:target [ sh:select "SELECT ?this WHERE { ?this ex:seg \\"BUILDING\\" . }" ] ;
+  sh:rule [ a sh:SPARQLRule ;
+            sh:construct """CONSTRUCT { $this a ex:Builder } WHERE { $this ex:seg ?s . }""" ] .
+
+ex: sh:declare [ sh:prefix "ex" ; sh:namespace "http://x.org/" ] .
+'''
+    shapes = compile_shapes(parse_ttl(ttl))
+    assert len(shapes[0].sparql_targets) == 1
+    assert len(shapes[0].rules) == 1
+    assert shapes[0].rules[0].prefixes == {"ex": "http://x.org/"}
