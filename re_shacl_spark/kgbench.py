@@ -2777,6 +2777,38 @@ QUERIES["kg_shacl_rules"] = q_kg_shacl_rules
 ORACLES["kg_shacl_rules"] = SQL_KG_SHACL_RULES
 
 
+def q_bgp_text_query(spark, sf_dir):
+    """Free-standing SPARQL TEXT entry point (validate/sparql.sparql_query):
+    a SELECT DISTINCT + ORDER BY + LIMIT query parsed from a string and run
+    as one distributed plan — DISTINCT before the slice, ORDER BY + LIMIT
+    collapsing to TakeOrderedAndProject (no global sort).  Lexicographic
+    string order is identical across engines (ASCII keys)."""
+    from re_shacl_spark.validate.sparql import sparql_query
+
+    cust = _read(spark, sf_dir, "customer")
+    nat = _read(spark, sf_dir, "nation")
+    t = _rows(cust, _iri("c:", F.col("c_custkey")), "kg:inNation",
+              _iri("n:", F.col("c_nationkey"))).unionByName(
+        _lit_rows(nat, _iri("n:", F.col("n_nationkey")), "kg:name",
+                  F.col("n_name"), F.lit(XSD_STRING))
+    )
+    return sparql_query(t, """
+        SELECT DISTINCT ?n ?name
+        WHERE { ?c kg:inNation ?n . ?n kg:name ?name }
+        ORDER BY ?n LIMIT 10
+    """)
+
+
+SQL_BGP_TEXT_QUERY = """SELECT DISTINCT 'n:'||n_nationkey::varchar AS n,
+n_name AS name
+FROM nation JOIN customer ON c_nationkey = n_nationkey
+ORDER BY n LIMIT 10"""
+
+
+QUERIES["bgp_text_query"] = q_bgp_text_query
+ORACLES["bgp_text_query"] = SQL_BGP_TEXT_QUERY
+
+
 
 # ---------------------------------------------------------------------------
 # SHACL round-3 constraint kinds: logical combinators (sh:and / sh:xone),
@@ -4666,6 +4698,7 @@ _EVIDENCE_PRIORITY = [
     "v_sparql_constraint",
     "v_sparql_target",
     "kg_shacl_rules",
+    "bgp_text_query",
     # BGP family: join machinery changed in r4, last driver-checked on r3 code
     "bgp_star_join",
     "bgp_optional",

@@ -75,6 +75,10 @@ class ParsedSelect:
     filters: list                   # expr ASTs (conjoined)
     prefixes: dict[str, str]
     optionals: list[tuple] = field(default_factory=list)  # OPTIONAL patterns
+    distinct: bool = False                                 # SELECT DISTINCT
+    order: list = field(default_factory=list)              # [(var, "asc"|"desc")]
+    limit: int | None = None
+    offset: int = 0
 
 
 _TOK = re.compile(
@@ -241,7 +245,13 @@ class _P:
         raise ValueError(f"sh:sparql: bad FILTER atom {v!r}")
 
 
-def parse_select(text: str, prefixes: dict[str, str] | None = None) -> ParsedSelect:
+def parse_select(
+    text: str,
+    prefixes: dict[str, str] | None = None,
+    require_this: bool = True,
+) -> ParsedSelect:
+    """``require_this`` is the constraint-context contract ($this must be
+    pre-bindable); ``sparql_query`` relaxes it for free-standing queries."""
     p = _P(_tokens(text), prefixes or {})
     while p.peek()[0] == "word" and p.peek()[1].upper() == "PREFIX":
         p.next()
@@ -251,6 +261,10 @@ def parse_select(text: str, prefixes: dict[str, str] | None = None) -> ParsedSel
         iri = p.expect("iri")
         p.prefixes[pv[:-1]] = iri[1:-1]
     p.expect("word", "SELECT")
+    distinct = False
+    if p.peek()[0] == "word" and p.peek()[1].upper() == "DISTINCT":
+        p.next()
+        distinct = True
     sel, star = [], False
     if p.peek() == ("op", "*"):
         p.next()
@@ -288,11 +302,47 @@ def parse_select(text: str, prefixes: dict[str, str] | None = None) -> ParsedSel
         if p.peek() == ("op", "."):
             p.next()
     p.expect("op", "}")
+    # solution modifiers: ORDER BY (?v | ASC(?v) | DESC(?v))+, LIMIT, OFFSET
+    order: list[tuple[str, str]] = []
+    limit, offset = None, 0
+    while p.peek()[0] == "word":
+        kw = p.peek()[1].upper()
+        if kw == "ORDER":
+            p.next()
+            p.expect("word", "BY")
+            while True:
+                k, v = p.peek()
+                if k == "var":
+                    p.next()
+                    order.append((v[1:], "asc"))
+                elif k == "word" and v.upper() in ("ASC", "DESC"):
+                    p.next()
+                    p.expect("op", "(")
+                    _, vv = p.next()
+                    p.expect("op", ")")
+                    order.append((vv[1:], v.lower()))
+                else:
+                    break
+            if not order:
+                raise ValueError("sh:sparql: ORDER BY needs at least one key")
+        elif kw == "LIMIT":
+            p.next()
+            limit = int(p.expect("num"))
+        elif kw == "OFFSET":
+            p.next()
+            offset = int(p.expect("num"))
+        else:
+            raise ValueError(f"sh:sparql: unexpected trailing token {kw!r}")
+    if p.peek()[0] != "eof":
+        raise ValueError(f"sh:sparql: unexpected trailing token {p.peek()[1]!r}")
     if not patterns:
         raise ValueError("sh:sparql: empty WHERE block")
-    if not any("?this" in pat for pat in patterns):
+    if require_this and not any("?this" in pat for pat in patterns):
         raise ValueError("sh:sparql: WHERE must mention $this")
-    return ParsedSelect(sel, star, patterns, filters, p.prefixes, optionals)
+    return ParsedSelect(
+        sel, star, patterns, filters, p.prefixes, optionals,
+        distinct, order, limit, offset,
+    )
 
 
 def _is_numeric(node) -> bool:
@@ -389,7 +439,11 @@ class ParsedConstruct:
     optionals: list[tuple] = field(default_factory=list)
 
 
-def parse_construct(text: str, prefixes: dict[str, str] | None = None) -> ParsedConstruct:
+def parse_construct(
+    text: str,
+    prefixes: dict[str, str] | None = None,
+    require_this: bool = True,
+) -> ParsedConstruct:
     """Parse a SHACL-AF sh:construct rule body (SHACL-AF §8 SPARQLRule):
     CONSTRUCT { t … } WHERE { t … FILTER(…) OPTIONAL{…} } over the same
     restricted grammar as parse_select; $this in the template mints per-focus
@@ -438,11 +492,41 @@ def parse_construct(text: str, prefixes: dict[str, str] | None = None) -> Parsed
     p.expect("op", "}")
     if not body.patterns:
         raise ValueError("sh:construct: empty WHERE block")
-    if not any("?this" in pat for pat in body.patterns):
+    if require_this and not any("?this" in pat for pat in body.patterns):
         raise ValueError("sh:construct: WHERE must mention $this")
     return ParsedConstruct(
         template, body.patterns, body.filters, p.prefixes, body.optionals
     )
+
+
+def sparql_query(
+    triples: DataFrame, text: str, prefixes: dict[str, str] | None = None
+) -> DataFrame:
+    """Free-standing text entry point for the restricted fragment: dispatches
+    on the leading keyword.  SELECT (with DISTINCT / ORDER BY / LIMIT /
+    OFFSET) returns the solution frame; CONSTRUCT returns a distinct
+    (s, p, o) triple relation.  Unlike the constraint context, $this is not
+    required — any connected BGP runs.  One distributed plan either way;
+    ORDER BY + LIMIT collapses to TakeOrderedAndProject (no global sort)."""
+    toks = _tokens(text)
+    kws = [v.upper() for k, v in toks if k == "word"]
+    form = next((w for w in kws if w in ("SELECT", "CONSTRUCT")), None)
+    if form == "SELECT":
+        return evaluate(triples, parse_select(text, prefixes, require_this=False))
+    if form == "CONSTRUCT":
+        from re_shacl_spark.query import _instantiate, bgp
+
+        pc = parse_construct(text, prefixes, require_this=False)
+        where = None
+        for fn in pc.filters:
+            c = compile_filter(fn)
+            where = c if where is None else (where & c)
+        bound = bgp(triples, pc.patterns, optional=pc.optionals or None,
+                    _keep_tags=True)
+        if where is not None:
+            bound = bound.filter(where)
+        return _instantiate(bound, pc.template, meta=False).distinct()
+    raise ValueError("sparql_query: expected a SELECT or CONSTRUCT query")
 
 
 def evaluate(triples: DataFrame, parsed: ParsedSelect) -> DataFrame:
@@ -469,6 +553,19 @@ def evaluate(triples: DataFrame, parsed: ParsedSelect) -> DataFrame:
         if missing:
             raise ValueError(f"sh:sparql: SELECT vars not bound: {missing}")
         sol = sol.select(*parsed.select_vars)
+    if parsed.distinct:
+        # projection → DISTINCT → ORDER/slice: ordering keys must be among
+        # the projected vars under DISTINCT (the spec's ambiguous case —
+        # ordering by a non-projected var of a DISTINCT solution — raises
+        # naturally as a missing column)
+        sol = sol.distinct()
+    if parsed.order or parsed.limit is not None or parsed.offset:
+        from re_shacl_spark.query import modifiers
+
+        sol = modifiers(
+            sol, order_by=parsed.order or None,
+            limit=parsed.limit, offset=parsed.offset,
+        )
     return sol
 
 

@@ -120,6 +120,13 @@ AUDITED = [
     "bgp_hash_funcs",
     "text_tfidf",
     "v_sparql_constraint",
+    # SHACL-AF + text API: custom targets are a bgp plan unioned into the
+    # target relation; the rules output is pattern equi-joins + the novelty
+    # anti-join; the text query must show TakeOrderedAndProject (no global
+    # sort for ORDER BY + LIMIT)
+    "v_sparql_target",
+    "kg_shacl_rules",
+    "bgp_text_query",
 ]
 
 # queries whose plans must contain NO nested-loop/cartesian join
@@ -139,6 +146,7 @@ NO_NESTED_LOOP = {
     "bgp_subselect", "kg_update_delete_insert", "bgp_graph_comention",
     "kg_graph_mgmt", "kg_dataset_from",
     "bgp_hash_funcs", "text_tfidf", "v_sparql_constraint",
+    "v_sparql_target", "kg_shacl_rules", "bgp_text_query",
 }
 
 

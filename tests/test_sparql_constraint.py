@@ -393,3 +393,44 @@ ex: sh:declare [ sh:prefix "ex" ; sh:namespace "http://x.org/" ] .
     assert len(shapes[0].sparql_targets) == 1
     assert len(shapes[0].rules) == 1
     assert shapes[0].rules[0].prefixes == {"ex": "http://x.org/"}
+
+
+# ---------------------------------------------------------------------------
+# free-standing text query API
+# ---------------------------------------------------------------------------
+
+def test_sparql_query_select_modifiers(spark):
+    from re_shacl_spark.validate.sparql import sparql_query
+
+    g = _graph(spark)
+    out = sparql_query(g, """
+        PREFIX ex: <http://x.org/>
+        SELECT DISTINCT ?c WHERE { ?c a ex:Customer . ?c ex:bal ?v . }
+        ORDER BY DESC(?c) LIMIT 2 OFFSET 1
+    """)
+    # desc order c3,c2,c1 → offset 1, limit 2 → c2, c1
+    assert [r.c for r in out.collect()] == [EX + "c2", EX + "c1"]
+
+
+def test_sparql_query_construct_no_this(spark):
+    from re_shacl_spark.validate.sparql import sparql_query
+
+    g = _graph(spark)
+    out = sparql_query(g, """
+        PREFIX ex: <http://x.org/>
+        CONSTRUCT { ?c ex:hasSeg ?s }
+        WHERE { ?c ex:seg ?s . FILTER (ISLITERAL(?s)) }
+    """)
+    got = {(r.s, r.p, r.o) for r in out.collect()}
+    assert got == {
+        (EX + "c1", EX + "hasSeg", "MACHINERY"),
+        (EX + "c2", EX + "hasSeg", "BUILDING"),
+    }
+
+
+def test_sparql_query_rejects_other_forms(spark):
+    from re_shacl_spark.validate.sparql import sparql_query
+
+    g = _graph(spark)
+    with pytest.raises(ValueError, match="SELECT or CONSTRUCT"):
+        sparql_query(g, "ASK WHERE { ?s ?p ?o }")
