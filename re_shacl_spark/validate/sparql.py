@@ -575,6 +575,7 @@ def apply_rules(
     shapes,
     tbox=None,
     max_rounds: int = 32,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """SHACL-AF §8 SPARQLRule inference: apply every shape's sh:construct
     rule to its target focus nodes, add the minted triples to the graph, and
@@ -638,7 +639,11 @@ def apply_rules(
                 "s", "p", "o", "o_lit", "is_lit",
                 F.lit(None).cast("string").alias("src_url"),
             )
-        ).localCheckpoint(eager=True)
+        )
+        # per-round lineage truncation (O(1) plans across rounds);
+        # checkpoint=False keeps the dataflow visible for plan audits
+        if checkpoint:
+            cur = cur.localCheckpoint(eager=True)
     raise RuntimeError(
         f"sh:rule fixpoint did not converge in {max_rounds} rounds"
     )

@@ -188,6 +188,41 @@ def main() -> None:
 
             df = pagerank(kgbench.rel_triples(spark, SF), iterations=2,
                           checkpoint=False)
+        elif name == "kg_shacl_rules":
+            # same story: apply_rules checkpoints per round — audit one
+            # visible round of the identical dataflow (rule plan + novelty
+            # anti-join); the registry query's oracle covers the values
+            from re_shacl_spark.model.ttl import parse_ttl
+            from re_shacl_spark.validate.shapes import compile_shapes
+            from re_shacl_spark.validate.sparql import apply_rules
+
+            from pyspark.sql import functions as _F
+
+            # rebuild the query's graph + shapes inline (kept in sync with
+            # kgbench.q_kg_shacl_rules)
+            cust = spark.read.parquet(f"{SF}/customer.parquet")
+            nat = spark.read.parquet(f"{SF}/nation.parquet")
+            t = (
+                kgbench._cust_targets(spark, SF)
+                .unionByName(kgbench._rows(
+                    cust, kgbench._iri("c:", _F.col("c_custkey")), "kg:inNation",
+                    kgbench._iri("n:", _F.col("c_nationkey"))))
+                .unionByName(kgbench._rows(
+                    nat, kgbench._iri("n:", _F.col("n_nationkey")), "kg:inRegion",
+                    kgbench._iri("r:", _F.col("n_regionkey"))))
+            )
+            ttl = '''
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix kg: <kg:> .
+kg:CustRegionShape a sh:NodeShape ;
+  sh:targetClass kg:Customer ;
+  sh:rule [ a sh:SPARQLRule ; sh:construct """
+    CONSTRUCT { $this kg:inRegion ?r }
+    WHERE { $this kg:inNation ?n . ?n kg:inRegion ?r }
+  """ ] .
+'''
+            df = apply_rules(spark, t, compile_shapes(parse_ttl(ttl)),
+                             checkpoint=False)
         else:
             df = kgbench.QUERIES[name](spark, SF)
         # validation queries return a checkpointed frame (opaque plan);
