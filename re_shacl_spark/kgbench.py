@@ -2809,6 +2809,40 @@ QUERIES["bgp_text_query"] = q_bgp_text_query
 ORACLES["bgp_text_query"] = SQL_BGP_TEXT_QUERY
 
 
+def q_bgp_text_aggregate(spark, sf_dir):
+    """SPARQL text aggregates (§11) through sparql_query: GROUP BY +
+    COUNT(*)/SUM + HAVING parsed from the string, riding query.aggregate
+    (partial+final hash agg; SUM over try_cast double — integer-cent
+    lexicals stay exact below 2^53).  COUNT returns BIGINT on both engines;
+    the SUM is mirrored ::DOUBLE in DuckDB (its BIGINT sum promotes to
+    HUGEINT — the r4 dtype lesson)."""
+    from re_shacl_spark.validate.sparql import sparql_query
+
+    cust = _read(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    cents = F.floor(F.col("c_acctbal") * 100).cast("long").cast("string")
+    t = _rows(cust, _iri("c:", k), "kg:inNation",
+              _iri("n:", F.col("c_nationkey"))).unionByName(
+        _lit_rows(cust, _iri("c:", k), "kg:bal", cents,
+                  F.lit(vocab.XSD + "integer"))
+    )
+    return sparql_query(t, """
+        SELECT ?n (COUNT(*) AS ?cnt) (SUM(?b) AS ?total)
+        WHERE { ?c kg:inNation ?n . ?c kg:bal ?b }
+        GROUP BY ?n HAVING (?cnt > 10)
+    """)
+
+
+SQL_BGP_TEXT_AGGREGATE = """SELECT 'n:'||c_nationkey::varchar AS n,
+count(*)::BIGINT AS cnt,
+sum(floor(c_acctbal * 100)::BIGINT)::DOUBLE AS total
+FROM customer GROUP BY 1 HAVING count(*) > 10"""
+
+
+QUERIES["bgp_text_aggregate"] = q_bgp_text_aggregate
+ORACLES["bgp_text_aggregate"] = SQL_BGP_TEXT_AGGREGATE
+
+
 
 # ---------------------------------------------------------------------------
 # SHACL round-3 constraint kinds: logical combinators (sh:and / sh:xone),
@@ -4699,6 +4733,7 @@ _EVIDENCE_PRIORITY = [
     "v_sparql_target",
     "kg_shacl_rules",
     "bgp_text_query",
+    "bgp_text_aggregate",
     # BGP family: join machinery changed in r4, last driver-checked on r3 code
     "bgp_star_join",
     "bgp_optional",

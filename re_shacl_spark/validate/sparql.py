@@ -79,6 +79,9 @@ class ParsedSelect:
     order: list = field(default_factory=list)              # [(var, "asc"|"desc")]
     limit: int | None = None
     offset: int = 0
+    aggs: dict = field(default_factory=dict)               # alias → agg spec
+    group_by: list = field(default_factory=list)           # GROUP BY vars
+    having: object | None = None                           # HAVING expr AST
 
 
 _TOK = re.compile(
@@ -265,14 +268,48 @@ def parse_select(
     if p.peek()[0] == "word" and p.peek()[1].upper() == "DISTINCT":
         p.next()
         distinct = True
-    sel, star = [], False
+    sel, star, aggs = [], False, {}
+    _AGG_WORDS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT"}
     if p.peek() == ("op", "*"):
         p.next()
         star = True
     else:
-        while p.peek()[0] == "var":
-            _, v = p.next()
-            sel.append("this" if v[1:] == "this" else v[1:])
+        while True:
+            k, v = p.peek()
+            if k == "var":
+                p.next()
+                sel.append("this" if v[1:] == "this" else v[1:])
+            elif (k, v) == ("op", "("):
+                # (AGG([DISTINCT] ?v | *) AS ?alias) — SPARQL §11 projection
+                p.next()
+                fn = p.expect("word").upper()
+                if fn not in _AGG_WORDS:
+                    raise ValueError(f"sh:sparql: unknown aggregate {fn!r}")
+                p.expect("op", "(")
+                distinct_arg = False
+                if p.peek()[0] == "word" and p.peek()[1].upper() == "DISTINCT":
+                    p.next()
+                    distinct_arg = True
+                if p.peek() == ("op", "*"):
+                    p.next()
+                    arg = "*"
+                else:
+                    _, av = p.next()
+                    arg = "this" if av[1:] == "this" else av[1:]
+                p.expect("op", ")")
+                p.expect("word", "AS")
+                _, alias_v = p.next()
+                alias = alias_v[1:]
+                p.expect("op", ")")
+                if fn == "COUNT" and distinct_arg:
+                    aggs[alias] = ("count_distinct", arg)
+                elif distinct_arg:
+                    raise ValueError("sh:sparql: DISTINCT only inside COUNT")
+                else:
+                    aggs[alias] = (fn.lower(), arg)
+                sel.append(alias)
+            else:
+                break
         if not sel:
             raise ValueError("sh:sparql: SELECT needs $this/?vars or *")
     p.expect("word", "WHERE")
@@ -302,12 +339,28 @@ def parse_select(
         if p.peek() == ("op", "."):
             p.next()
     p.expect("op", "}")
-    # solution modifiers: ORDER BY (?v | ASC(?v) | DESC(?v))+, LIMIT, OFFSET
+    # GROUP BY / HAVING, then solution modifiers:
+    # ORDER BY (?v | ASC(?v) | DESC(?v))+, LIMIT, OFFSET
+    group_by: list[str] = []
+    having = None
     order: list[tuple[str, str]] = []
     limit, offset = None, 0
     while p.peek()[0] == "word":
         kw = p.peek()[1].upper()
-        if kw == "ORDER":
+        if kw == "GROUP":
+            p.next()
+            p.expect("word", "BY")
+            while p.peek()[0] == "var":
+                _, v = p.next()
+                group_by.append("this" if v[1:] == "this" else v[1:])
+            if not group_by:
+                raise ValueError("sh:sparql: GROUP BY needs at least one var")
+        elif kw == "HAVING":
+            p.next()
+            p.expect("op", "(")
+            having = p.expr()
+            p.expect("op", ")")
+        elif kw == "ORDER":
             p.next()
             p.expect("word", "BY")
             while True:
@@ -339,9 +392,16 @@ def parse_select(
         raise ValueError("sh:sparql: empty WHERE block")
     if require_this and not any("?this" in pat for pat in patterns):
         raise ValueError("sh:sparql: WHERE must mention $this")
+    if aggs:
+        bad = [v for v in sel if v not in aggs and v not in group_by]
+        if bad:
+            raise ValueError(
+                f"sh:sparql: projected vars {bad} are neither aggregated "
+                f"nor GROUP BY keys"
+            )
     return ParsedSelect(
         sel, star, patterns, filters, p.prefixes, optionals,
-        distinct, order, limit, offset,
+        distinct, order, limit, offset, aggs, group_by, having,
     )
 
 
@@ -548,6 +608,13 @@ def evaluate(triples: DataFrame, parsed: ParsedSelect) -> DataFrame:
     if where is not None:
         sol = sol.filter(where)
     sol = sol.drop(*[c for c in sol.columns if c.endswith(_TAG)])
+    if parsed.aggs:
+        # SPARQL §11: GROUP BY → aggregate → HAVING → projection; the agg
+        # output aliases and group keys are the only projectable columns
+        from re_shacl_spark.query import aggregate
+
+        having = compile_filter(parsed.having) if parsed.having is not None else None
+        sol = aggregate(sol, parsed.group_by, parsed.aggs, having=having)
     if not parsed.star:
         missing = [v for v in parsed.select_vars if v not in sol.columns]
         if missing:

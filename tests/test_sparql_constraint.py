@@ -434,3 +434,46 @@ def test_sparql_query_rejects_other_forms(spark):
     g = _graph(spark)
     with pytest.raises(ValueError, match="SELECT or CONSTRUCT"):
         sparql_query(g, "ASK WHERE { ?s ?p ?o }")
+
+
+def test_sparql_query_aggregates(spark):
+    from re_shacl_spark.validate.sparql import sparql_query
+
+    rows = [
+        iri_triple(EX + "c1", EX + "inNation", EX + "n1"),
+        iri_triple(EX + "c2", EX + "inNation", EX + "n1"),
+        iri_triple(EX + "c3", EX + "inNation", EX + "n2"),
+        lit_triple(EX + "c1", EX + "bal", "10", XSD_INT),
+        lit_triple(EX + "c2", EX + "bal", "5", XSD_INT),
+        lit_triple(EX + "c3", EX + "bal", "7", XSD_INT),
+    ]
+    g = triples_df(spark, rows)
+    out = sparql_query(g, """
+        PREFIX ex: <http://x.org/>
+        SELECT ?n (COUNT(*) AS ?cnt) (SUM(?b) AS ?total)
+        WHERE { ?c ex:inNation ?n . ?c ex:bal ?b }
+        GROUP BY ?n HAVING (?cnt > 1) ORDER BY ?n
+    """)
+    r = out.collect()
+    assert [(x.n, x.cnt, x.total) for x in r] == [(EX + "n1", 2, 15.0)]
+
+
+def test_sparql_query_count_distinct_and_global_group(spark):
+    from re_shacl_spark.validate.sparql import sparql_query
+
+    g = _graph(spark)
+    out = sparql_query(g, """
+        PREFIX ex: <http://x.org/>
+        SELECT (COUNT(DISTINCT ?c) AS ?n) WHERE { ?c ex:bal ?v . }
+    """)
+    assert out.collect()[0].n == 3
+
+
+def test_parse_select_rejects_unaggregated_projection():
+    from re_shacl_spark.validate.sparql import parse_select
+
+    with pytest.raises(ValueError, match="neither aggregated"):
+        parse_select(
+            "SELECT ?x (COUNT(*) AS ?n) WHERE { ?x <p:p> ?y . } GROUP BY ?y",
+            require_this=False,
+        )
