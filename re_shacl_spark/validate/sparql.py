@@ -13,13 +13,24 @@ conjunctive fragment the repo's query engine evaluates natively — NOT a
 full parser:
 
     (PREFIX pn: <iri>)*
-    SELECT ($this | ?var)+  |  SELECT *
-    WHERE { t1 . t2 . OPTIONAL { t3 . } FILTER ( expr ) ... }
+    SELECT [DISTINCT] ($this | ?var | (AGG([DISTINCT] ?v|*) AS ?alias))+ | *
+    WHERE {  group  |  { group } UNION { group } ...  }
+    [GROUP BY ?v+] [HAVING(expr)]
+    [ORDER BY (?v | ASC(?v) | DESC(?v))+] [LIMIT n] [OFFSET n]
+
+    group := ( triple '.' | FILTER ( expr ) | FILTER [NOT] EXISTS { t... }
+             | OPTIONAL { t... } | MINUS { t... }
+             | VALUES ?v { cells } | VALUES (?a ?b) { (cells)... } )*
 
 OPTIONAL blocks left-join their patterns onto the required solution (each
 must share a variable with it); FILTERs scope over the WHOLE group — they
 apply after the OPTIONAL joins, so ``BOUND(?x)`` / ``!BOUND(?x)`` on an
-OPTIONAL variable expresses SPARQL's negation-as-failure idiom.
+OPTIONAL variable expresses SPARQL's negation-as-failure idiom.  FILTER
+[NOT] EXISTS / MINUS / VALUES ride query.bgp's own arms (semi/anti joins on
+term identity; VALUES joins by string form, UNDEF = unconstrained).  UNION
+branches evaluate independently and union narrowly (absent variables
+null-padded — SPARQL's unbound); aggregates (COUNT/SUM/AVG/MIN/MAX/SAMPLE/
+GROUP_CONCAT) compile onto query.aggregate with HAVING after the group.
 
 Triple-pattern terms: ``$this`` / ``?var``, ``<iri>``, prefixed names,
 ``a``, string literals (``"s"``, ``"s"@lang``, ``"s"^^<dt>``,
@@ -68,13 +79,25 @@ class SparqlConstraint:
 
 
 @dataclass
+class Group:
+    """One group pattern's contents — the shared body of a WHERE group, a
+    UNION branch, or a CONSTRUCT's WHERE."""
+
+    patterns: list = field(default_factory=list)       # required triple patterns
+    filters: list = field(default_factory=list)        # FILTER expr ASTs
+    optionals: list = field(default_factory=list)      # OPTIONAL patterns
+    f_exists: list = field(default_factory=list)       # FILTER EXISTS blocks
+    f_not_exists: list = field(default_factory=list)   # FILTER NOT EXISTS blocks
+    minus: list | None = None                          # MINUS block (≤1/group)
+    values: tuple | None = None                        # VALUES (vars, rows)
+
+
+@dataclass
 class ParsedSelect:
     select_vars: list[str]          # without '?'; '$this' normalized to 'this'
     star: bool
-    patterns: list[tuple]           # query.bgp pattern terms
-    filters: list                   # expr ASTs (conjoined)
+    groups: list                    # list[Group]; >1 means UNION branches
     prefixes: dict[str, str]
-    optionals: list[tuple] = field(default_factory=list)  # OPTIONAL patterns
     distinct: bool = False                                 # SELECT DISTINCT
     order: list = field(default_factory=list)              # [(var, "asc"|"desc")]
     limit: int | None = None
@@ -82,6 +105,19 @@ class ParsedSelect:
     aggs: dict = field(default_factory=dict)               # alias → agg spec
     group_by: list = field(default_factory=list)           # GROUP BY vars
     having: object | None = None                           # HAVING expr AST
+
+    # first-group views (the only group outside UNION queries)
+    @property
+    def patterns(self):
+        return self.groups[0].patterns
+
+    @property
+    def filters(self):
+        return self.groups[0].filters
+
+    @property
+    def optionals(self):
+        return self.groups[0].optionals
 
 
 _TOK = re.compile(
@@ -247,6 +283,129 @@ class _P:
             return ("call", v.upper(), args)
         raise ValueError(f"sh:sparql: bad FILTER atom {v!r}")
 
+    # -- group patterns ----------------------------------------------------
+    def _pattern_block(self) -> list:
+        """Consume a braced `{ t . t . }` pattern list entirely."""
+        self.expect("op", "{")
+        pats = []
+        while self.peek() != ("op", "}"):
+            pats.append((self.term(), self.term(), self.term()))
+            if self.peek() == ("op", "."):
+                self.next()
+        self.expect("op", "}")
+        return pats
+
+    def _values_cell(self):
+        """One VALUES cell → visible string form, or None for UNDEF (the
+        same string-form join relaxation query.bgp's VALUES tables use)."""
+        from re_shacl_spark.query import Lit
+
+        k, v = self.peek()
+        if k == "word" and v.upper() == "UNDEF":
+            self.next()
+            return None
+        t = self.term()
+        if isinstance(t, Lit):
+            return t.lex
+        if isinstance(t, str) and t.startswith("?"):
+            raise ValueError("sh:sparql: variables are not VALUES cells")
+        return t
+
+    def _values_block(self) -> tuple:
+        k, v = self.peek()
+        if k == "var":  # VALUES ?v { t t … }
+            self.next()
+            name = "this" if v[1:] == "this" else v[1:]
+            self.expect("op", "{")
+            rows = []
+            while self.peek() != ("op", "}"):
+                rows.append((self._values_cell(),))
+            self.expect("op", "}")
+            return ([name], rows)
+        self.expect("op", "(")  # VALUES (?a ?b) { (t t) (t UNDEF) … }
+        names = []
+        while self.peek()[0] == "var":
+            _, vv = self.next()
+            names.append("this" if vv[1:] == "this" else vv[1:])
+        self.expect("op", ")")
+        if not names:
+            raise ValueError("sh:sparql: VALUES needs at least one variable")
+        self.expect("op", "{")
+        rows = []
+        while self.peek() != ("op", "}"):
+            self.expect("op", "(")
+            row = []
+            while self.peek() != ("op", ")"):
+                row.append(self._values_cell())
+            self.expect("op", ")")
+            if len(row) != len(names):
+                raise ValueError("sh:sparql: VALUES row arity mismatch")
+            rows.append(tuple(row))
+        self.expect("op", "}")
+        return (names, rows)
+
+    def group_body(self) -> "Group":
+        """Group contents up to (exclusive) the closing `}`: triples,
+        FILTER(expr), FILTER [NOT] EXISTS {…}, OPTIONAL {…}, MINUS {…},
+        VALUES."""
+        g = Group()
+        while self.peek() not in (("op", "}"), ("eof", "")):
+            k, v = self.peek()
+            if k == "word" and v.upper() == "FILTER":
+                self.next()
+                nk, nv = self.peek()
+                if nk == "word" and nv.upper() in ("EXISTS", "NOT"):
+                    neg = nv.upper() == "NOT"
+                    self.next()
+                    if neg:
+                        self.expect("word", "EXISTS")
+                    (g.f_not_exists if neg else g.f_exists).append(
+                        self._pattern_block()
+                    )
+                else:
+                    self.expect("op", "(")
+                    g.filters.append(self.expr())
+                    self.expect("op", ")")
+            elif k == "word" and v.upper() == "OPTIONAL":
+                self.next()
+                g.optionals.extend(self._pattern_block())
+            elif k == "word" and v.upper() == "MINUS":
+                if g.minus is not None:
+                    raise ValueError("sh:sparql: at most one MINUS per group")
+                self.next()
+                g.minus = self._pattern_block()
+            elif k == "word" and v.upper() == "VALUES":
+                if g.values is not None:
+                    raise ValueError("sh:sparql: at most one VALUES per group")
+                self.next()
+                g.values = self._values_block()
+            else:
+                g.patterns.append((self.term(), self.term(), self.term()))
+            if self.peek() == ("op", "."):
+                self.next()
+        return g
+
+    def where_groups(self) -> list:
+        """WHERE body: either one plain group, or `{ A } UNION { B } …`
+        (braced branches chained by UNION — the only place braced subgroups
+        are accepted in this fragment)."""
+        self.expect("op", "{")
+        if self.peek() == ("op", "{"):
+            groups = []
+            while True:
+                self.expect("op", "{")
+                groups.append(self.group_body())
+                self.expect("op", "}")
+                if self.peek()[0] == "word" and self.peek()[1].upper() == "UNION":
+                    self.next()
+                    continue
+                break
+            self.expect("op", "}")
+            return groups
+        g = self.group_body()
+        self.expect("op", "}")
+        return [g]
+
 
 def parse_select(
     text: str,
@@ -313,32 +472,7 @@ def parse_select(
         if not sel:
             raise ValueError("sh:sparql: SELECT needs $this/?vars or *")
     p.expect("word", "WHERE")
-    p.expect("op", "{")
-    patterns, filters, optionals = [], [], []
-    while p.peek() != ("op", "}"):
-        head = p.peek()
-        if head[0] == "word" and head[1].upper() == "FILTER":
-            p.next()
-            p.expect("op", "(")
-            filters.append(p.expr())
-            p.expect("op", ")")
-        elif head[0] == "word" and head[1].upper() == "OPTIONAL":
-            # OPTIONAL { single-pattern blocks } — each pattern left-joins
-            # the required solution (query.bgp `optional=`); a block here is
-            # a list of patterns that each must share a variable with the
-            # required part (bgp enforces it)
-            p.next()
-            p.expect("op", "{")
-            while p.peek() != ("op", "}"):
-                optionals.append((p.term(), p.term(), p.term()))
-                if p.peek() == ("op", "."):
-                    p.next()
-            p.expect("op", "}")
-        else:
-            patterns.append((p.term(), p.term(), p.term()))
-        if p.peek() == ("op", "."):
-            p.next()
-    p.expect("op", "}")
+    groups = p.where_groups()
     # GROUP BY / HAVING, then solution modifiers:
     # ORDER BY (?v | ASC(?v) | DESC(?v))+, LIMIT, OFFSET
     group_by: list[str] = []
@@ -388,10 +522,11 @@ def parse_select(
             raise ValueError(f"sh:sparql: unexpected trailing token {kw!r}")
     if p.peek()[0] != "eof":
         raise ValueError(f"sh:sparql: unexpected trailing token {p.peek()[1]!r}")
-    if not patterns:
-        raise ValueError("sh:sparql: empty WHERE block")
-    if require_this and not any("?this" in pat for pat in patterns):
-        raise ValueError("sh:sparql: WHERE must mention $this")
+    for g in groups:
+        if not g.patterns:
+            raise ValueError("sh:sparql: empty WHERE block")
+        if require_this and not any("?this" in pat for pat in g.patterns):
+            raise ValueError("sh:sparql: WHERE must mention $this")
     if aggs:
         bad = [v for v in sel if v not in aggs and v not in group_by]
         if bad:
@@ -400,7 +535,7 @@ def parse_select(
                 f"nor GROUP BY keys"
             )
     return ParsedSelect(
-        sel, star, patterns, filters, p.prefixes, optionals,
+        sel, star, groups, p.prefixes,
         distinct, order, limit, offset, aggs, group_by, having,
     )
 
@@ -493,10 +628,20 @@ class ParsedConstruct:
     """CONSTRUCT { template } WHERE { … } in the same restricted fragment."""
 
     template: list[tuple]
-    patterns: list[tuple]
-    filters: list
+    group: Group
     prefixes: dict[str, str]
-    optionals: list[tuple] = field(default_factory=list)
+
+    @property
+    def patterns(self):
+        return self.group.patterns
+
+    @property
+    def filters(self):
+        return self.group.filters
+
+    @property
+    def optionals(self):
+        return self.group.optionals
 
 
 def parse_construct(
@@ -526,37 +671,19 @@ def parse_construct(
     p.expect("op", "}")
     if not template:
         raise ValueError("sh:construct: empty template")
-    # reuse the SELECT body parser for the WHERE group
-    body = ParsedSelect([], True, [], [], p.prefixes)
+    # the WHERE group shares the SELECT body grammar (incl. FILTER [NOT]
+    # EXISTS, MINUS, VALUES), minus UNION branches
     p.expect("word", "WHERE")
     p.expect("op", "{")
-    while p.peek() != ("op", "}"):
-        head = p.peek()
-        if head[0] == "word" and head[1].upper() == "FILTER":
-            p.next()
-            p.expect("op", "(")
-            body.filters.append(p.expr())
-            p.expect("op", ")")
-        elif head[0] == "word" and head[1].upper() == "OPTIONAL":
-            p.next()
-            p.expect("op", "{")
-            while p.peek() != ("op", "}"):
-                body.optionals.append((p.term(), p.term(), p.term()))
-                if p.peek() == ("op", "."):
-                    p.next()
-            p.expect("op", "}")
-        else:
-            body.patterns.append((p.term(), p.term(), p.term()))
-        if p.peek() == ("op", "."):
-            p.next()
+    body = p.group_body()
     p.expect("op", "}")
+    if p.peek()[0] != "eof":
+        raise ValueError(f"sh:construct: unexpected trailing token {p.peek()[1]!r}")
     if not body.patterns:
         raise ValueError("sh:construct: empty WHERE block")
     if require_this and not any("?this" in pat for pat in body.patterns):
         raise ValueError("sh:construct: WHERE must mention $this")
-    return ParsedConstruct(
-        template, body.patterns, body.filters, p.prefixes, body.optionals
-    )
+    return ParsedConstruct(template, body, p.prefixes)
 
 
 def sparql_query(
@@ -574,39 +701,55 @@ def sparql_query(
     if form == "SELECT":
         return evaluate(triples, parse_select(text, prefixes, require_this=False))
     if form == "CONSTRUCT":
-        from re_shacl_spark.query import _instantiate, bgp
+        from re_shacl_spark.query import _instantiate
 
         pc = parse_construct(text, prefixes, require_this=False)
-        where = None
-        for fn in pc.filters:
-            c = compile_filter(fn)
-            where = c if where is None else (where & c)
-        bound = bgp(triples, pc.patterns, optional=pc.optionals or None,
-                    _keep_tags=True)
-        if where is not None:
-            bound = bound.filter(where)
+        bound = _eval_group(triples, pc.group)
         return _instantiate(bound, pc.template, meta=False).distinct()
     raise ValueError("sparql_query: expected a SELECT or CONSTRUCT query")
 
 
-def evaluate(triples: DataFrame, parsed: ParsedSelect) -> DataFrame:
-    """Run one compiled sh:select against the graph: a single query.bgp plan.
-    FILTERs apply AFTER the OPTIONAL left-joins (SPARQL §8: a group's filters
-    scope over the whole group, so BOUND(?x) on an OPTIONAL variable works)
-    and while term tags are still present (isIRI/isLiteral read them).
-    Returns the solution multiset with ``this`` always among the columns."""
-    from re_shacl_spark.query import _TAG, bgp
-
+def _conjoin(filters) -> Column | None:
     where = None
-    for fnode in parsed.filters:
+    for fnode in filters:
         c = compile_filter(fnode)
         where = c if where is None else (where & c)
+    return where
+
+
+def _eval_group(triples: DataFrame, g: Group) -> DataFrame:
+    """One group pattern → solution frame WITH term tags.  FILTER exprs
+    apply AFTER the OPTIONAL left-joins (SPARQL §8: group scoping, so
+    BOUND(?x) on an OPTIONAL variable works); FILTER [NOT] EXISTS, MINUS and
+    VALUES ride bgp's own arms (they join on the required block — an EXISTS
+    referencing only OPTIONAL-introduced variables is out of fragment
+    scope)."""
+    from re_shacl_spark.query import bgp
+
     sol = bgp(
-        triples, parsed.patterns, optional=parsed.optionals or None,
+        triples, g.patterns, optional=g.optionals or None,
+        filter_exists=g.f_exists or None,
+        filter_not_exists=g.f_not_exists or None,
+        minus=g.minus, values=g.values,
         _keep_tags=True,
     )
+    where = _conjoin(g.filters)
     if where is not None:
         sol = sol.filter(where)
+    return sol
+
+
+def evaluate(triples: DataFrame, parsed: ParsedSelect) -> DataFrame:
+    """Run one compiled sh:select against the graph: one query.bgp plan per
+    group (UNION branches union narrowly, absent variables null-padded —
+    SPARQL's unbound), then aggregation, projection, DISTINCT and the
+    solution modifiers.  Returns the solution multiset with ``this`` always
+    among the columns in constraint contexts."""
+    from re_shacl_spark.query import _TAG
+
+    sol = _eval_group(triples, parsed.groups[0])
+    for g in parsed.groups[1:]:
+        sol = sol.unionByName(_eval_group(triples, g), allowMissingColumns=True)
     sol = sol.drop(*[c for c in sol.columns if c.endswith(_TAG)])
     if parsed.aggs:
         # SPARQL §11: GROUP BY → aggregate → HAVING → projection; the agg
@@ -660,7 +803,7 @@ def apply_rules(
     subsumes ordering for monotone rule sets); ``max_rounds`` bounds cyclic
     rule graphs and raises on non-convergence rather than silently stopping.
     """
-    from re_shacl_spark.query import _instantiate, _term_tag, bgp
+    from re_shacl_spark.query import _instantiate, _term_tag
     from re_shacl_spark.validate.engine import _targets
 
     rules = [
@@ -675,14 +818,7 @@ def apply_rules(
         targets = _targets(spark, cur, shapes, tbox)
         parts = []
         for ns, pc in rules:
-            where = None
-            for fn in pc.filters:
-                c = compile_filter(fn)
-                where = c if where is None else (where & c)
-            bound = bgp(cur, pc.patterns, optional=pc.optionals or None,
-                        _keep_tags=True)
-            if where is not None:
-                bound = bound.filter(where)
+            bound = _eval_group(cur, pc.group)
             foc = (
                 targets.filter(F.col("shape_id") == ns.shape_id)
                 .select(F.col("focus").alias("this")).distinct()

@@ -477,3 +477,59 @@ def test_parse_select_rejects_unaggregated_projection():
             "SELECT ?x (COUNT(*) AS ?n) WHERE { ?x <p:p> ?y . } GROUP BY ?y",
             require_this=False,
         )
+
+
+def test_sparql_query_union_values_minus_exists(spark):
+    from re_shacl_spark.validate.sparql import sparql_query
+
+    rows = [
+        lit_triple(EX + "c1", EX + "seg", "BUILDING", XSD_STR),
+        lit_triple(EX + "c2", EX + "seg", "MACHINERY", XSD_STR),
+        lit_triple(EX + "c3", EX + "seg", "AUTOMOBILE", XSD_STR),
+        iri_triple(EX + "c1", EX + "vip", EX + "Gold"),
+        iri_triple(EX + "c3", EX + "flag", EX + "Risk"),
+    ]
+    g = triples_df(spark, rows)
+    # UNION branches with branch-scoped filters
+    out = sparql_query(g, """
+        PREFIX ex: <http://x.org/>
+        SELECT ?c WHERE {
+          { ?c ex:seg "BUILDING" . } UNION { ?c ex:flag ex:Risk . }
+        } ORDER BY ?c
+    """)
+    assert [r.c for r in out.collect()] == [EX + "c1", EX + "c3"]
+    # VALUES restricts; FILTER NOT EXISTS removes vip holders
+    out2 = sparql_query(g, """
+        PREFIX ex: <http://x.org/>
+        SELECT ?c WHERE {
+          ?c ex:seg ?s .
+          VALUES ?s { "BUILDING" "MACHINERY" }
+          FILTER NOT EXISTS { ?c ex:vip ?f . }
+        }
+    """)
+    assert {r.c for r in out2.collect()} == {EX + "c2"}
+    # MINUS removes bindings compatible on shared vars
+    out3 = sparql_query(g, """
+        PREFIX ex: <http://x.org/>
+        SELECT ?c WHERE { ?c ex:seg ?s . MINUS { ?c ex:flag ex:Risk . } }
+    """)
+    assert {r.c for r in out3.collect()} == {EX + "c1", EX + "c2"}
+
+
+def test_sparql_query_union_null_padding(spark):
+    """A variable bound in only one branch is null (unbound) in the other."""
+    from re_shacl_spark.validate.sparql import sparql_query
+
+    rows = [
+        lit_triple(EX + "c1", EX + "seg", "BUILDING", XSD_STR),
+        iri_triple(EX + "c2", EX + "vip", EX + "Gold"),
+    ]
+    g = triples_df(spark, rows)
+    out = sparql_query(g, """
+        PREFIX ex: <http://x.org/>
+        SELECT ?c ?s ?f WHERE {
+          { ?c ex:seg ?s . } UNION { ?c ex:vip ?f . }
+        }
+    """)
+    got = {(r.c, r.s, r.f) for r in out.collect()}
+    assert got == {(EX + "c1", "BUILDING", None), (EX + "c2", None, EX + "Gold")}
