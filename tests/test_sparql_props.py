@@ -403,3 +403,37 @@ def test_apply_rules_matches_naive_forward_chaining(spark, case):
         for s, p, o in _naive_apply_rules(full, rules)
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# parser robustness: hostile input never escapes ValueError
+# ---------------------------------------------------------------------------
+
+@given(st.text(max_size=120))
+@settings(max_examples=500, deadline=None, derandomize=True)
+def test_parser_hostile_input_raises_valueerror_only(text):
+    """Arbitrary text either parses or raises ValueError — never an
+    IndexError/KeyError/AttributeError escape from the tokenizer or the
+    recursive descent (int() of a num token cannot fail: the token grammar
+    only admits digit strings)."""
+    from re_shacl_spark.validate.sparql import parse_construct, parse_select
+
+    for fn in (parse_select, parse_construct):
+        try:
+            fn(text, require_this=False)
+        except ValueError:
+            pass
+
+
+@given(st.text(alphabet="SELECT WHERE{}?$ths.<>ovalues()*&|!=\"' \n0123456789",
+               max_size=80))
+@settings(max_examples=500, deadline=None, derandomize=True)
+def test_parser_keyword_soup_raises_valueerror_only(text):
+    """Keyword-dense soup (braces, quotes, operators, digits) — the worst
+    case for state-machine confusion — still only ever raises ValueError."""
+    from re_shacl_spark.validate.sparql import parse_select
+
+    try:
+        parse_select(text, require_this=False)
+    except ValueError:
+        pass
