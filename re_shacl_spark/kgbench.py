@@ -4734,6 +4734,13 @@ _EVIDENCE_PRIORITY = [
     "kg_shacl_rules",
     "bgp_text_query",
     "bgp_text_aggregate",
+    # flagships changed in r5 (whitespace class / decimal intermediates /
+    # pre-closure convergence) + the r5-new deep-PageRank row — kept ABOVE
+    # the BGP/rule families so the session-2 insertions don't push them past
+    # the ~50-row driver window
+    "kg_fuse",
+    "kg_fuse_delta",
+    "kg_pagerank_n5",
     # BGP family: join machinery changed in r4, last driver-checked on r3 code
     "bgp_star_join",
     "bgp_optional",
@@ -4763,23 +4770,22 @@ _EVIDENCE_PRIORITY = [
     "j13_connected_components",
     "chk_disjoint_classes",
     "chk_disjoint_properties",
-    "chk_asymmetric",
-    "chk_irreflexive",
     "chk_same_different",
     "v_mincount",
+    # ---- below the ~50-cap.  Demoted to make room for the session-2
+    # queries (which have NO driver row at all): chk_asymmetric /
+    # chk_irreflexive share reasoning/checks.py machinery with the three
+    # in-window chk_ rows; v_maxcount shares the single-pass grid with
+    # v_mincount; the extract/emit/tokens rows are r4-green with
+    # output-preserving r5 deltas — check_oracle re-proves all of them ----
+    "chk_asymmetric",
+    "chk_irreflexive",
     "v_maxcount",
-    # changed THIS round (explicit whitespace class / decimal intermediates /
-    # pre-closure convergence flag) — re-evidence the flagship representatives
-    "kg_fuse",
-    "kg_fuse_delta",
-    # kg_pagerank: r4-green; kg_pagerank_n5 drives the SAME join/agg chain
-    # 2.5x deeper in-window, so the 2-iteration row yields its slot
-    "kg_pagerank_n5",
     "kg_extract_text",
     "kg_mentions",
     "kg_emit_triples",
     "text_tokens",
-    # ---- below the 50-cap: the rest of the r5 whitespace-touched family
+    # the rest of the r5 whitespace-touched family
     # (the dedup_* rows are r4-green and their r5 deltas are
     # output-preserving — the WS class equals Java \s and the long-count
     # emit never crosses int32 at test sf; check_oracle re-proves them) ----

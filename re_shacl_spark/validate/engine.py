@@ -307,7 +307,7 @@ def validate(
         if with_details:
             schema += ", severity string, message string"
         empty = spark.createDataFrame([], schema)
-        if not any(ns.sparql_constraints for ns in shapes):
+        if not _has_sparql(shapes):
             return ValidationReport(empty, True, 0)
         # shapes carrying ONLY sh:sparql constraints: no grid to build —
         # evaluate the SPARQL blocks against the targets directly
@@ -725,6 +725,15 @@ def _closed_violations(
     )
 
 
+def _has_sparql(shapes: list[NodeShape]) -> bool:
+    """Any sh:sparql constraint — node-shape level or property-shape level."""
+    return any(
+        ns.sparql_constraints
+        or any(getattr(pc, "sparql_constraints", []) for pc in ns.properties)
+        for ns in shapes
+    )
+
+
 def _sparql_violations(
     spark: SparkSession,
     triples: DataFrame,
@@ -744,8 +753,24 @@ def _sparql_violations(
 
     parts: list[DataFrame] = []
     for ns in shapes:
-        for sc in ns.sparql_constraints:
-            sol = evaluate(triples, parse_select(sc.select, sc.prefixes))
+        # node-shape constraints (path unbound) + property-shape constraints
+        # (SHACL §5.3 property context: $PATH substitutes the plain
+        # predicate path; complex paths are out of fragment scope)
+        items = [(None, sc) for sc in ns.sparql_constraints] + [
+            (pc, sc)
+            for pc in ns.properties
+            for sc in getattr(pc, "sparql_constraints", [])
+        ]
+        for pc, sc in items:
+            text = sc.select
+            if pc is not None:
+                if not isinstance(pc.path, str) or pc.inverse:
+                    raise ValueError(
+                        "sh:sparql $PATH substitution requires a plain "
+                        "forward predicate path"
+                    )
+                text = text.replace("$PATH", f"<{pc.path}>")
+            sol = evaluate(triples, parse_select(text, sc.prefixes))
             val = (
                 F.col("value").cast("string")
                 if "value" in sol.columns
@@ -756,10 +781,12 @@ def _sparql_violations(
                 targets.filter(F.col("shape_id") == ns.shape_id)
                 .select("focus").distinct()
             )
+            severity = (pc.severity if pc is not None else None) or ns.severity
+            message = sc.message or (pc.message if pc is not None else None) or ns.message
             detail_cols = (
                 [
-                    F.lit(ns.severity or SH + "Violation").alias("severity"),
-                    F.lit(sc.message or ns.message).cast("string").alias("message"),
+                    F.lit(severity or SH + "Violation").alias("severity"),
+                    F.lit(message).cast("string").alias("message"),
                 ]
                 if with_details
                 else []
@@ -768,7 +795,8 @@ def _sparql_violations(
                 sel.join(foc, "focus").select(
                     "focus",
                     F.lit(ns.shape_id).alias("shape"),
-                    F.lit(None).cast("string").alias("path"),
+                    F.lit(pc.path if pc is not None else None)
+                    .cast("string").alias("path"),
                     F.lit("sparql").alias("constraint"),
                     "value",
                     *detail_cols,

@@ -151,9 +151,11 @@ def validate_delta(
     # sh:sparql constraints join arbitrary patterns — a delta edge can flip a
     # solution whose focus the reverse-path widening below cannot see, so
     # they have no local affected set either; validate fully
+    from re_shacl_spark.validate.engine import _has_sparql
+
     complex_paths = any(
         isinstance(pc.path, PathExpr) for ns in shapes for pc in _all_pcs(ns)
-    ) or any(ns.sparql_constraints for ns in shapes)
+    ) or _has_sparql(shapes)
     # a sequence/closure path can carry an edge insertion to arbitrarily
     # distant foci, and a subclass-axiom delta re-scopes targets globally —
     # neither has a local affected set; validate fully (mirrors fuse_delta's

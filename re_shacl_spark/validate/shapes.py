@@ -72,6 +72,9 @@ class PropertyConstraint:
     negated: bool = False
     severity: str | None = None  # sh:severity IRI (falls back to the shape's)
     message: str | None = None   # sh:message literal
+    # property-shape-level sh:sparql (SHACL §5.3 property context): $PATH in
+    # the select text substitutes this constraint's plain predicate path
+    sparql_constraints: list = field(default_factory=list)
     or_branches: list["PropertyConstraint"] = field(default_factory=list)
     and_branches: list["PropertyConstraint"] = field(default_factory=list)
     xone_branches: list["PropertyConstraint"] = field(default_factory=list)
@@ -306,6 +309,21 @@ def compile_shapes(shape_triples: list[tuple]) -> list[NodeShape]:
         for pnode in po.get(SH + "property", []):
             pc = _compile_property(pnode, pox)
             if pc.path:
+                # property-shape-level sh:sparql (SHACL §5.3): evaluated by
+                # engine._sparql_violations with $PATH substituted
+                for snode in pox.get(pnode, {}).get(SH + "sparql", []):
+                    sp = pox.get(snode, {})
+                    sel = sp.get(SH + "select")
+                    if sel:
+                        from re_shacl_spark.validate.sparql import (
+                            SparqlConstraint,
+                        )
+
+                        pc.sparql_constraints.append(SparqlConstraint(
+                            select=sel[0],
+                            message=(sp.get(SH + "message") or [None])[0],
+                            prefixes=dict(declared_prefixes),
+                        ))
                 ns.properties.append(pc)
         # node-level sh:not over a property shape (schema2's publicationAuthor
         # pattern); path-less node-level sh:not folds into the self constraint

@@ -533,3 +533,38 @@ def test_sparql_query_union_null_padding(spark):
     """)
     got = {(r.c, r.s, r.f) for r in out.collect()}
     assert got == {(EX + "c1", "BUILDING", None), (EX + "c2", None, EX + "Gold")}
+
+
+def test_property_shape_sparql_with_path_substitution(spark):
+    """sh:sparql on a PROPERTY shape (SHACL §5.3 property context): $PATH in
+    the select substitutes the constraint's plain predicate path, and the
+    violation row carries that path."""
+    ttl = '''
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://x.org/> .
+
+ex:S a sh:NodeShape ;
+  sh:targetClass ex:Customer ;
+  sh:property [
+    sh:path ex:bal ;
+    sh:sparql [
+      sh:message "negative value at $PATH" ;
+      sh:select """SELECT $this ?value WHERE {
+        $this $PATH ?value . FILTER (?value < 0)
+      }""" ;
+    ] ;
+  ] .
+
+ex: sh:declare [ sh:prefix "ex" ; sh:namespace "http://x.org/" ] .
+'''
+    shapes = compile_shapes(parse_ttl(ttl))
+    assert len(shapes[0].properties) == 1
+    assert len(shapes[0].properties[0].sparql_constraints) == 1
+
+    g = _graph(spark)
+    rep = validate(spark, g, shapes, with_details=True)
+    rows = rep.violations.collect()
+    assert {(r.focus, r.path, r.constraint, r.value) for r in rows} == {
+        (EX + "c1", EX + "bal", "sparql", "-12")
+    }
+    assert rows[0].message == "negative value at $PATH"
