@@ -437,3 +437,85 @@ def test_parser_keyword_soup_raises_valueerror_only(text):
         parse_select(text, require_this=False)
     except ValueError:
         pass
+
+
+# ---------------------------------------------------------------------------
+# round-trip fidelity for the extended grammar (UNION / VALUES / EXISTS /
+# MINUS / modifiers) — parser-level; evaluation arms are covered by the
+# bgp-level fuzzes in test_query_props.py that these constructs compile onto
+# ---------------------------------------------------------------------------
+
+@st.composite
+def extended_query_st(draw):
+    def pats(must_this=False):
+        # parse-level only — no connectivity needed (nothing is evaluated)
+        n = draw(st.integers(1, 2))
+        out = []
+        for i in range(n):
+            s = "?this" if (i == 0 and must_this) else draw(
+                st.sampled_from(["?this", "?v"] + NODES))
+            o = draw(st.sampled_from(["?v", "?w"] + NODES))
+            out.append((s, draw(st.sampled_from(PREDS)), o))
+        return out
+
+    kind = draw(st.integers(0, 2))
+    if kind == 0:  # UNION
+        branches = [pats(True) for _ in range(draw(st.integers(2, 3)))]
+        return ("union", branches)
+    g = pats(True)
+    if kind == 1:  # VALUES + EXISTS
+        vals = (["v"], [(draw(st.sampled_from(NODES + [None])),)
+                        for _ in range(draw(st.integers(1, 3)))])
+        ex = pats()
+        neg = draw(st.booleans())
+        return ("values_exists", g, vals, ex, neg)
+    return ("minus_mod", g, pats(),
+            draw(st.booleans()),                       # distinct
+            draw(st.integers(1, 5)),                   # limit
+            draw(st.sampled_from(["asc", "desc"])))
+
+
+def _ser_pats(ps):
+    return " ".join(
+        f"{s.replace('?this', '$this')} {p} {o} ." for s, p, o in ps
+    )
+
+
+@given(extended_query_st())
+@settings(max_examples=200, deadline=None, derandomize=True)
+def test_parse_roundtrip_extended_grammar(case):
+    from re_shacl_spark.validate.sparql import parse_select
+
+    if case[0] == "union":
+        branches = case[1]
+        text = "SELECT ?this WHERE { " + " UNION ".join(
+            "{ " + _ser_pats(b) + " }" for b in branches
+        ) + " }"
+        q = parse_select(text)
+        assert [g.patterns for g in q.groups] == branches
+    elif case[0] == "values_exists":
+        _, g, vals, ex, neg = case
+        cells = " ".join("UNDEF" if c is None else c for (c,) in vals[1])
+        kw = "NOT EXISTS" if neg else "EXISTS"
+        text = (
+            "SELECT ?this WHERE { " + _ser_pats(g)
+            + " VALUES ?v { " + cells + " } "
+            + f"FILTER {kw} {{ " + _ser_pats(ex) + " } }"
+        )
+        q = parse_select(text)
+        assert q.groups[0].patterns == g
+        assert q.groups[0].values == vals
+        block = q.groups[0].f_not_exists if neg else q.groups[0].f_exists
+        assert block == [ex]
+    else:
+        _, g, m, distinct, limit, direction = case
+        text = (
+            "SELECT " + ("DISTINCT " if distinct else "") + "?this WHERE { "
+            + _ser_pats(g) + " MINUS { " + _ser_pats(m) + " } }"
+            + f" ORDER BY {direction.upper()}(?this) LIMIT {limit}"
+        )
+        q = parse_select(text)
+        assert q.groups[0].patterns == g
+        assert q.groups[0].minus == m
+        assert q.distinct is distinct
+        assert q.order == [("this", direction)] and q.limit == limit
