@@ -415,13 +415,7 @@ def parse_select(
     """``require_this`` is the constraint-context contract ($this must be
     pre-bindable); ``sparql_query`` relaxes it for free-standing queries."""
     p = _P(_tokens(text), prefixes or {})
-    while p.peek()[0] == "word" and p.peek()[1].upper() == "PREFIX":
-        p.next()
-        pk, pv = p.next()
-        if pk != "pname" or not pv.endswith(":"):
-            raise ValueError(f"sh:sparql: bad PREFIX name {pv!r}")
-        iri = p.expect("iri")
-        p.prefixes[pv[:-1]] = iri[1:-1]
+    _parse_prefix_decls(p)
     p.expect("word", "SELECT")
     distinct = False
     if p.peek()[0] == "word" and p.peek()[1].upper() == "DISTINCT":
@@ -654,13 +648,7 @@ def parse_construct(
     restricted grammar as parse_select; $this in the template mints per-focus
     triples.  PREFIX declarations and sh:declare'd prefixes both apply."""
     p = _P(_tokens(text), prefixes or {})
-    while p.peek()[0] == "word" and p.peek()[1].upper() == "PREFIX":
-        p.next()
-        pk, pv = p.next()
-        if pk != "pname" or not pv.endswith(":"):
-            raise ValueError(f"sh:sparql: bad PREFIX name {pv!r}")
-        iri = p.expect("iri")
-        p.prefixes[pv[:-1]] = iri[1:-1]
+    _parse_prefix_decls(p)
     p.expect("word", "CONSTRUCT")
     p.expect("op", "{")
     template = []
@@ -688,16 +676,22 @@ def parse_construct(
 
 def sparql_query(
     triples: DataFrame, text: str, prefixes: dict[str, str] | None = None
-) -> DataFrame:
+):
     """Free-standing text entry point for the restricted fragment: dispatches
-    on the leading keyword.  SELECT (with DISTINCT / ORDER BY / LIMIT /
-    OFFSET) returns the solution frame; CONSTRUCT returns a distinct
-    (s, p, o) triple relation.  Unlike the constraint context, $this is not
-    required — any connected BGP runs.  One distributed plan either way;
-    ORDER BY + LIMIT collapses to TakeOrderedAndProject (no global sort)."""
+    on the leading query-form keyword.  SELECT (with DISTINCT / aggregates /
+    ORDER BY / LIMIT / OFFSET) returns the solution frame; CONSTRUCT returns
+    a distinct (s, p, o) triple relation; ASK returns a Python bool (one
+    bounded `limit(1)` probe — never a full count); DESCRIBE <node>…
+    returns the nodes' triples via query.describe.  Unlike the constraint
+    context, $this is not required — any connected BGP runs.  One
+    distributed plan per form; ORDER BY + LIMIT collapses to
+    TakeOrderedAndProject (no global sort)."""
     toks = _tokens(text)
     kws = [v.upper() for k, v in toks if k == "word"]
-    form = next((w for w in kws if w in ("SELECT", "CONSTRUCT")), None)
+    form = next(
+        (w for w in kws if w in ("SELECT", "CONSTRUCT", "ASK", "DESCRIBE")),
+        None,
+    )
     if form == "SELECT":
         return evaluate(triples, parse_select(text, prefixes, require_this=False))
     if form == "CONSTRUCT":
@@ -706,7 +700,42 @@ def sparql_query(
         pc = parse_construct(text, prefixes, require_this=False)
         bound = _eval_group(triples, pc.group)
         return _instantiate(bound, pc.template, meta=False).distinct()
-    raise ValueError("sparql_query: expected a SELECT or CONSTRUCT query")
+    if form == "ASK":
+        p = _P(toks, prefixes or {})
+        _parse_prefix_decls(p)
+        p.expect("word", "ASK")
+        p.expect("op", "{")
+        g = p.group_body()
+        p.expect("op", "}")
+        if not g.patterns:
+            raise ValueError("sh:sparql: empty WHERE block")
+        return bool(_eval_group(triples, g).limit(1).count())
+    if form == "DESCRIBE":
+        from re_shacl_spark.query import describe
+
+        p = _P(toks, prefixes or {})
+        _parse_prefix_decls(p)
+        p.expect("word", "DESCRIBE")
+        nodes = []
+        while p.peek()[0] in ("iri", "pname"):
+            k, v = p.next()
+            nodes.append(v[1:-1] if k == "iri" else p._expand(v))
+        if not nodes or p.peek()[0] != "eof":
+            raise ValueError("sh:sparql: DESCRIBE needs constant node IRIs")
+        return describe(triples, nodes)
+    raise ValueError(
+        "sparql_query: expected a SELECT, CONSTRUCT, ASK or DESCRIBE query"
+    )
+
+
+def _parse_prefix_decls(p: _P) -> None:
+    while p.peek()[0] == "word" and p.peek()[1].upper() == "PREFIX":
+        p.next()
+        pk, pv = p.next()
+        if pk != "pname" or not pv.endswith(":"):
+            raise ValueError(f"sh:sparql: bad PREFIX name {pv!r}")
+        iri = p.expect("iri")
+        p.prefixes[pv[:-1]] = iri[1:-1]
 
 
 def _conjoin(filters) -> Column | None:

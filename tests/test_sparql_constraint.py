@@ -428,12 +428,28 @@ def test_sparql_query_construct_no_this(spark):
     }
 
 
+def test_sparql_query_ask_and_describe(spark):
+    from re_shacl_spark.validate.sparql import sparql_query
+
+    g = _graph(spark)
+    assert sparql_query(
+        g, 'PREFIX ex: <http://x.org/> ASK { ?c ex:seg "BUILDING" . }'
+    ) is True
+    assert sparql_query(
+        g, 'PREFIX ex: <http://x.org/> ASK { ?c ex:seg "NOPE" . }'
+    ) is False
+    d = sparql_query(g, "PREFIX ex: <http://x.org/> DESCRIBE ex:c1")
+    assert {(r.s, r.p) for r in d.collect()} == {
+        (EX + "c1", vocab.TYPE), (EX + "c1", EX + "bal"), (EX + "c1", EX + "seg"),
+    }
+
+
 def test_sparql_query_rejects_other_forms(spark):
     from re_shacl_spark.validate.sparql import sparql_query
 
     g = _graph(spark)
-    with pytest.raises(ValueError, match="SELECT or CONSTRUCT"):
-        sparql_query(g, "ASK WHERE { ?s ?p ?o }")
+    with pytest.raises(ValueError, match="expected a SELECT"):
+        sparql_query(g, "INSERT DATA { <a> <b> <c> }")
 
 
 def test_sparql_query_aggregates(spark):
