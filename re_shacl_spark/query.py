@@ -54,7 +54,7 @@ class Path:
 @dataclass(frozen=True)
 class Lit:
     """A constant LITERAL pattern term: ``bgp(t, [("?s", "kg:surface",
-    Lit("claude"))])`` — SPARQL's ``"claude"`` / ``"x"^^xsd:int`` /
+    Lit("alice"))])`` — SPARQL's ``"alice"`` / ``"x"^^xsd:int`` /
     ``"chat"@fr`` syntax.  Plain-string constants are IRIs (the spec writes
     them ``<…>``); matching a literal by its lexical form alone would conflate
     it with an IRI pun, so literal constants are explicit.  Defaults follow
