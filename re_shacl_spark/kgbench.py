@@ -2843,6 +2843,37 @@ QUERIES["bgp_text_aggregate"] = q_bgp_text_aggregate
 ORACLES["bgp_text_aggregate"] = SQL_BGP_TEXT_AGGREGATE
 
 
+def q_bgp_text_path(spark, sf_dir):
+    """SPARQL §9 property paths in the TEXT fragment: a sequence path
+    (customer → nation → region) plus an inverse step, parsed from the
+    query string into query.Path (validate/sparql._P.pred — recursive
+    descent mirroring query.parse_path's grammar) and evaluated by the
+    engine's virtual-predicate path machinery — hash equi-joins per step,
+    never per-row recursion."""
+    from re_shacl_spark.validate.sparql import sparql_query
+
+    cust = _read(spark, sf_dir, "customer")
+    nat = _read(spark, sf_dir, "nation")
+    t = (
+        _rows(cust, _iri("c:", F.col("c_custkey")), "kg:inNation",
+              _iri("n:", F.col("c_nationkey")))
+        .unionByName(_rows(nat, _iri("n:", F.col("n_nationkey")), "kg:inRegion",
+                           _iri("r:", F.col("n_regionkey"))))
+    )
+    return sparql_query(t, """
+        SELECT ?c ?r WHERE { ?c kg:inNation/kg:inRegion ?r . }
+    """)
+
+
+SQL_BGP_TEXT_PATH = """SELECT 'c:'||c_custkey::varchar AS c,
+'r:'||n_regionkey::varchar AS r
+FROM customer JOIN nation ON c_nationkey = n_nationkey"""
+
+
+QUERIES["bgp_text_path"] = q_bgp_text_path
+ORACLES["bgp_text_path"] = SQL_BGP_TEXT_PATH
+
+
 
 # ---------------------------------------------------------------------------
 # SHACL round-3 constraint kinds: logical combinators (sh:and / sh:xone),
@@ -4734,6 +4765,10 @@ _EVIDENCE_PRIORITY = [
     "kg_shacl_rules",
     "bgp_text_query",
     "bgp_text_aggregate",
+    # text property paths (v_mincount slides just past the cap: its grid
+    # machinery is evidenced in-window by v_sparql_target, itself a minCount
+    # over the same single-pass aggregation)
+    "bgp_text_path",
     # flagships changed in r5 (whitespace class / decimal intermediates /
     # pre-closure convergence) + the r5-new deep-PageRank row — kept ABOVE
     # the BGP/rule families so the session-2 insertions don't push them past

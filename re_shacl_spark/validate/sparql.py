@@ -129,7 +129,7 @@ _TOK = re.compile(
     | (?P<var>[?$][A-Za-z_][A-Za-z0-9_]*)
     | (?P<dcaret>\^\^)
     | (?P<langtag>@[A-Za-z][A-Za-z0-9-]*)
-    | (?P<op>&&|\|\||!=|<=|>=|[=<>!(){}.,*])
+    | (?P<op>&&|\|\||!=|<=|>=|[=<>!(){}.,*+/^|?])
     | (?P<pname>[A-Za-z_][\w-]*)?:(?P<local>[\w.-]*)
     | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
     """,
@@ -283,13 +283,109 @@ class _P:
             return ("call", v.upper(), args)
         raise ValueError(f"sh:sparql: bad FILTER atom {v!r}")
 
+    def pred(self):
+        """Predicate-slot term: a variable, a plain predicate IRI (kept as a
+        string — term-strict constant), or a SPARQL §9 property-path
+        expression (sequence ``/``, alternative ``|``, inverse ``^``,
+        closures ``+ * ?``, negated set ``!(…)``, grouping) compiled to
+        ``query.Path``.  Atoms re-serialize angle-bracketed so operator
+        characters inside IRIs stay inert.  Lexing caveat (inherent to the
+        token stream): ``?`` followed by a name character is a VARIABLE
+        token, so the zero-or-one op needs a non-name follower — write
+        ``(kg:p?)`` or ``kg:p? .`` (whitespace before the dot), exactly as
+        real SPARQL grammars disambiguate."""
+        from re_shacl_spark.query import Path
+
+        if self.peek()[0] == "var":
+            return self.term()
+        parts: list[str] = []
+        simple = [True]  # stays True only for a single bare predicate atom
+
+        def emit_iri():
+            k, v = self.next()
+            if k == "iri":
+                parts.append("<" + v[1:-1] + ">")
+            elif k == "pname":
+                parts.append("<" + self._expand(v) + ">")
+            elif k == "word" and v == "a":
+                parts.append("<" + vocab.TYPE + ">")
+            else:
+                raise ValueError(f"sh:sparql: bad predicate term {v!r}")
+
+        def member():  # negated-property-set member: [^] iri
+            if self.peek() == ("op", "^"):
+                self.next()
+                parts.append("^")
+            emit_iri()
+
+        def atom():
+            k, v = self.peek()
+            if (k, v) == ("op", "("):
+                self.next()
+                parts.append("(")
+                simple[0] = False
+                path()
+                self.expect("op", ")")
+                parts.append(")")
+            elif (k, v) == ("op", "!"):
+                self.next()
+                parts.append("!")
+                simple[0] = False
+                if self.peek() == ("op", "("):
+                    self.next()
+                    parts.append("(")
+                    member()
+                    while self.peek() == ("op", "|"):
+                        self.next()
+                        parts.append("|")
+                        member()
+                    self.expect("op", ")")
+                    parts.append(")")
+                else:
+                    member()
+            else:
+                emit_iri()
+
+        def step():
+            if self.peek() == ("op", "^"):
+                self.next()
+                parts.append("^")
+                simple[0] = False
+                step()
+                return
+            atom()
+            if self.peek()[0] == "op" and self.peek()[1] in ("+", "*", "?"):
+                parts.append(self.next()[1])
+                simple[0] = False
+
+        def seq():
+            step()
+            while self.peek() == ("op", "/"):
+                self.next()
+                parts.append("/")
+                simple[0] = False
+                step()
+
+        def path():
+            seq()
+            while self.peek() == ("op", "|"):
+                self.next()
+                parts.append("|")
+                simple[0] = False
+                seq()
+
+        path()
+        if simple[0] and len(parts) == 1:
+            return parts[0][1:-1]  # plain constant predicate (term-strict)
+        return Path("".join(parts))
+
     # -- group patterns ----------------------------------------------------
     def _pattern_block(self) -> list:
         """Consume a braced `{ t . t . }` pattern list entirely."""
         self.expect("op", "{")
         pats = []
         while self.peek() != ("op", "}"):
-            pats.append((self.term(), self.term(), self.term()))
+            pats.append((self.term(), self.pred(), self.term()))
             if self.peek() == ("op", "."):
                 self.next()
         self.expect("op", "}")
@@ -380,7 +476,7 @@ class _P:
                 self.next()
                 g.values = self._values_block()
             else:
-                g.patterns.append((self.term(), self.term(), self.term()))
+                g.patterns.append((self.term(), self.pred(), self.term()))
             if self.peek() == ("op", "."):
                 self.next()
         return g

@@ -584,3 +584,68 @@ ex: sh:declare [ sh:prefix "ex" ; sh:namespace "http://x.org/" ] .
         (EX + "c1", EX + "bal", "sparql", "-12")
     }
     assert rows[0].message == "negative value at $PATH"
+
+
+def test_sparql_query_property_paths(spark):
+    """SPARQL §9 property paths in the text fragment: sequence, one-or-more
+    closure, inverse, and a negated property set — compiled to query.Path in
+    the predicate slot."""
+    from re_shacl_spark.validate.sparql import sparql_query
+
+    rows = [
+        iri_triple(EX + "c1", EX + "inNation", EX + "n1"),
+        iri_triple(EX + "n1", EX + "inRegion", EX + "r1"),
+        iri_triple(EX + "a", EX + "next", EX + "b"),
+        iri_triple(EX + "b", EX + "next", EX + "c"),
+        iri_triple(EX + "a", EX + "other", EX + "z"),
+    ]
+    g = triples_df(spark, rows)
+    seq = sparql_query(g, """
+        PREFIX ex: <http://x.org/>
+        SELECT ?c ?r WHERE { ?c ex:inNation/ex:inRegion ?r . }
+    """)
+    assert {(r.c, r.r) for r in seq.collect()} == {(EX + "c1", EX + "r1")}
+
+    plus = sparql_query(g, """
+        PREFIX ex: <http://x.org/>
+        SELECT ?x ?y WHERE { ?x ex:next+ ?y . }
+    """)
+    assert {(r.x, r.y) for r in plus.collect()} == {
+        (EX + "a", EX + "b"), (EX + "b", EX + "c"), (EX + "a", EX + "c"),
+    }
+
+    inv = sparql_query(g, """
+        PREFIX ex: <http://x.org/>
+        SELECT ?n WHERE { ?n ^ex:inNation ?c . }
+    """)
+    assert {r.n for r in inv.collect()} == {EX + "n1"}
+
+    nps = sparql_query(g, """
+        PREFIX ex: <http://x.org/>
+        SELECT ?x ?y WHERE { ?x !(ex:next|ex:inNation|ex:inRegion) ?y . }
+    """)
+    assert {(r.x, r.y) for r in nps.collect()} == {(EX + "a", EX + "z")}
+
+
+def test_sh_sparql_constraint_with_path(spark):
+    """A sh:sparql constraint whose WHERE uses a sequence path — the
+    restricted fragment composes with the engine's virtual-predicate path
+    machinery."""
+    rows = [
+        iri_triple(EX + "c1", vocab.TYPE, EX + "Customer"),
+        iri_triple(EX + "c2", vocab.TYPE, EX + "Customer"),
+        iri_triple(EX + "c1", EX + "inNation", EX + "n1"),
+        iri_triple(EX + "n1", EX + "inRegion", EX + "r9"),
+        iri_triple(EX + "c2", EX + "inNation", EX + "n2"),
+        iri_triple(EX + "n2", EX + "inRegion", EX + "r1"),
+    ]
+    g = triples_df(spark, rows)
+    sc = SparqlConstraint(
+        select="PREFIX ex: <http://x.org/> SELECT $this ?value WHERE { "
+               "$this ex:inNation/ex:inRegion ?value . "
+               'FILTER (?value = "http://x.org/r9") }',
+    )
+    shapes = [NodeShape("S", target_classes=[EX + "Customer"],
+                        sparql_constraints=[sc])]
+    got = {(r.focus, r.value) for r in validate(spark, g, shapes).violations.collect()}
+    assert got == {(EX + "c1", EX + "r9")}
