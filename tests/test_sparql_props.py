@@ -425,7 +425,7 @@ def test_parser_hostile_input_raises_valueerror_only(text):
             pass
 
 
-@given(st.text(alphabet="SELECT WHERE{}?$ths.<>ovalues()*&|!=\"' \n0123456789",
+@given(st.text(alphabet="SELECT WHERE{}?$ths.<>ovalues()*&|!=\"' \n0123456789/^+",
                max_size=80))
 @settings(max_examples=500, deadline=None, derandomize=True)
 def test_parser_keyword_soup_raises_valueerror_only(text):
